@@ -1,0 +1,191 @@
+"""North-star benchmark: prior-batches/sec (GP sample + train step) at
+bptt=100 (BASELINE.json metric 1).
+
+Measures the fully fused train step of the flagship GP-prior PFN (Fig-3a
+architecture: emsize 512, nhead 4, nlayers 6, nhid 1024; reference
+notebooks/SetupForGPFittingExperiments.ipynb cell 5) — each step generates a
+fresh batch of GP datasets ON DEVICE (B x Cholesky(T x T)) and performs
+forward + backward + clip + Adam.
+
+The baseline is the reference's architecture implemented with stock PyTorch
+(TransformerEncoder + additive PFN mask + host-side GP sampling via
+torch.linalg.cholesky) on this host's best available torch device — the same
+measurement machinery the reference prints per epoch (train.py:63-108).
+Because this image has CPU-only torch, the baseline is measured once and
+cached in bench_baseline.json; pass --remeasure-baseline to refresh.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import os
+import time
+
+
+BATCH_SIZE = 64
+BPTT = 100
+EMSIZE, NHEAD, NHID, NLAYERS = 512, 4, 1024, 6
+NUM_BUCKETS = 100
+GP_HP = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+
+
+def measure_pfn_tpu(steps: int = 20, warmup: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+    from pfn_tpu.distributions import get_bucket_limits
+    from pfn_tpu.priors.gp import GPPrior
+    from pfn_tpu.train import TrainConfig, bar_criterion
+    from pfn_tpu.train.loop import TrainState, _make_optimizer, build_model, make_train_step
+    from pfn_tpu.models.transformer import num_params
+
+    prior = GPPrior(num_features=1, **GP_HP)
+    crit = bar_criterion(get_bucket_limits(NUM_BUCKETS, full_range=(-4.0, 4.0)))
+    cfg = TrainConfig(
+        emsize=EMSIZE,
+        nhid=NHID,
+        nlayers=NLAYERS,
+        nhead=NHEAD,
+        batch_size=BATCH_SIZE,
+        bptt=BPTT,
+        lr=1e-4,
+        warmup_epochs=1,
+        epochs=1,
+        steps_per_epoch=steps,
+        dtype=jnp.bfloat16,
+    )
+    model = build_model(prior, crit, cfg)
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=BPTT)
+    tx, _, _ = _make_optimizer(cfg, num_params(params))
+    state = TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+    step_fn = jax.jit(make_train_step(model, prior, crit, cfg, tx), donate_argnums=0)
+
+    key = jax.random.PRNGKey(1)
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, sub)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(metrics["loss"])), "non-finite loss in bench"
+    return steps / dt
+
+
+def measure_torch_baseline(steps: int = 3, warmup: int = 1) -> float:
+    """Reference-style PyTorch pipeline on this host (stock torch building
+    blocks, not reference source): GP sampling via torch Cholesky + a
+    TransformerEncoder with the additive PFN mask + bar-NLL + Adam."""
+    import math
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    device = "cuda" if torch.cuda.is_available() else "cpu"
+    B, T, D = BATCH_SIZE, BPTT, EMSIZE
+
+    layer = nn.TransformerEncoderLayer(D, NHEAD, NHID, 0.0, activation="gelu",
+                                       batch_first=True)
+    encoder_stack = nn.TransformerEncoder(layer, NLAYERS)
+    x_enc = nn.Linear(1, D)
+    y_enc = nn.Linear(1, D)
+    head = nn.Sequential(nn.Linear(D, NHID), nn.GELU(), nn.Linear(NHID, NUM_BUCKETS))
+    model = nn.ModuleList([encoder_stack, x_enc, y_enc, head]).to(device)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+
+    borders = torch.linspace(-4.0, 4.0, NUM_BUCKETS + 1, device=device)
+    widths = borders[1:] - borders[:-1]
+
+    def pfn_mask(sep):
+        m = torch.zeros(T, T, device=device)
+        allow = torch.zeros(T, T, dtype=torch.bool, device=device)
+        allow[:, :sep] = True
+        allow |= torch.eye(T, dtype=torch.bool, device=device)
+        m[~allow] = float("-inf")
+        return m
+
+    def one_step():
+        # on-the-fly GP sample (the reference's data hot loop, fast_gp.py:44-56)
+        x = torch.rand(B, T, 1, device=device)
+        d2 = torch.cdist(x, x).pow(2)
+        K = GP_HP["outputscale"] * torch.exp(-0.5 * d2 / GP_HP["lengthscale"] ** 2)
+        A = K + (GP_HP["noise"] + 1e-6) * torch.eye(T, device=device)
+        L = torch.linalg.cholesky(A)
+        y = (L @ torch.randn(B, T, 1, device=device)).squeeze(-1)
+
+        sep = T // 2
+        tok = x_enc(x)
+        tok[:, :sep] += y_enc(y[:, :sep, None])
+        out = encoder_stack(tok, pfn_mask(sep))
+        logits = head(out[:, sep:])
+        idx = (torch.searchsorted(borders, y[:, sep:].clamp(-3.999, 3.999)) - 1).clamp(0, NUM_BUCKETS - 1)
+        logp = torch.log_softmax(logits, -1) - widths.log()
+        loss = -logp.gather(-1, idx.unsqueeze(-1)).mean()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        opt.zero_grad()
+
+    for _ in range(warmup):
+        one_step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    return steps / (time.perf_counter() - t0)
+
+
+def get_baseline(remeasure: bool = False) -> float:
+    if not remeasure and os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["prior_batches_per_sec"]
+    value = measure_torch_baseline()
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(
+            {
+                "prior_batches_per_sec": value,
+                "what": "reference-style PyTorch (stock TransformerEncoder + "
+                "torch Cholesky GP sampling + bar NLL), this host",
+                "config": dict(
+                    batch_size=BATCH_SIZE, bptt=BPTT, emsize=EMSIZE,
+                    nhead=NHEAD, nhid=NHID, nlayers=NLAYERS,
+                ),
+            },
+            f,
+            indent=2,
+        )
+    return value
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--remeasure-baseline", action="store_true")
+    p.add_argument("--skip-baseline", action="store_true")
+    args = p.parse_args()
+
+    value = measure_pfn_tpu(steps=args.steps)
+    if args.skip_baseline:
+        baseline = None
+    else:
+        try:
+            baseline = get_baseline(args.remeasure_baseline)
+        except Exception:
+            baseline = None
+    print(
+        json.dumps(
+            {
+                "metric": "prior-batches/sec (GP sample + train step, bptt=100)",
+                "value": round(value, 3),
+                "unit": "batches/sec",
+                "vs_baseline": round(value / baseline, 3) if baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+"""Evaluation: exact-posterior oracles and the PFN evaluation harnesses."""
+
+from pfn_tpu.evals.oracles import (
+    gp_exact_evaluate,
+    ridge_evaluate,
+    bayes_linreg_posterior,
+)
+from pfn_tpu.evals.harness import eval_positional_loss, pfn_predict
+
+__all__ = [
+    "gp_exact_evaluate",
+    "ridge_evaluate",
+    "bayes_linreg_posterior",
+    "eval_positional_loss",
+    "pfn_predict",
+]

@@ -1,0 +1,63 @@
+"""PFN evaluation harness: amortized posterior prediction + positional sweeps.
+
+Parity targets: the ``run_test`` NLL/MSE-vs-eval-position loop of the GP
+notebook (reference notebooks/SetupForGPFittingExperiments.ipynb cell 6) and
+the generic amortized-inference call pattern (SURVEY.md §3.2): pack context +
+queries, one forward with ``single_eval_pos = len(context)``, summarize
+posterior from the head.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pfn_predict(model, params, x, y, single_eval_pos):
+    """One amortized-inference forward pass.
+
+    x: (B, T, F) with context rows [0, sep) and query rows [sep, T);
+    y: (B, T) with query entries ignored (any value). Returns logits
+    (B, T, n_out); rows >= sep are the posterior predictions.
+    """
+    pos = jnp.arange(x.shape[1])[None, :]
+    y_ctx = jnp.where(pos < single_eval_pos, y, 0.0)
+    return model.apply(params, x, y_ctx, single_eval_pos)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _positional_losses(model, params, criterion, x, y, target_y, positions):
+    def one(sep):
+        out = pfn_predict(model, params, x, y, sep)
+        losses = criterion.per_position(out, target_y)  # (B, T)
+        # Score only the FIRST eval position (== sep), the run_test protocol.
+        return losses[:, sep].mean(), losses[:, sep].std()
+
+    return jax.lax.map(one, positions)
+
+
+def eval_positional_loss(
+    model,
+    params,
+    criterion,
+    x,
+    y,
+    target_y=None,
+    positions=None,
+):
+    """Loss of the PFN posterior at context sizes ``positions``.
+
+    For each t in positions: forward with single_eval_pos=t and score the
+    prediction at row t — the Fig-3a model curve (NLL vs #context points).
+    Returns (mean_losses (len(positions),), std_losses).
+    """
+    T = x.shape[1]
+    if positions is None:
+        positions = jnp.arange(1, T)
+    else:
+        positions = jnp.asarray(positions)
+    if target_y is None:
+        target_y = y
+    return _positional_losses(model, params, criterion, x, y, target_y, positions)

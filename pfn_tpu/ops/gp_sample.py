@@ -1,0 +1,148 @@
+"""On-device batched GP sample-path generation and exact GP posteriors.
+
+This replaces the reference's gpytorch-based sampling (reference
+priors/fast_gp.py:49-56: build K(x,x)+sigma^2 I, Cholesky, multiply a standard
+normal) with fused jnp: pairwise distances -> kernel matrix -> batched
+``jax.lax.linalg.cholesky`` -> matmul, all vmapped over the batch of datasets
+and jittable inside the train step. Cholesky runs in float32 (TPU MXU is
+bf16-biased; GP covariance factorization needs f32 accumulation).
+
+Also hosts the exact-GP posterior used as the correctness oracle (reference
+priors/fast_gp.py:88-120), vectorized over context sizes with an
+identity-masking trick instead of the reference's per-t Python loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _sq_dists(x1: jax.Array, x2: jax.Array) -> jax.Array:
+    """Pairwise squared euclidean distances. x1: (..., N, F), x2: (..., M, F)."""
+    # (x - y)^2 = x^2 + y^2 - 2xy, clamped for numerical safety.
+    n1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
+    n2 = jnp.sum(x2 * x2, axis=-1, keepdims=True)
+    cross = jnp.einsum(
+        "...nf,...mf->...nm", x1, x2, preferred_element_type=jnp.float32
+    )
+    return jnp.maximum(n1 + jnp.swapaxes(n2, -1, -2) - 2.0 * cross, 0.0)
+
+
+def rbf_kernel(
+    x1: jax.Array,
+    x2: jax.Array,
+    lengthscale,
+    outputscale,
+) -> jax.Array:
+    """ScaleKernel(RBFKernel) parity (gpytorch defaults used at reference
+    priors/fast_gp.py:17): K = outputscale * exp(-||x-x'||^2 / (2 l^2)).
+
+    ``lengthscale`` may be scalar or (F,) for ARD.
+    """
+    ls = jnp.asarray(lengthscale)
+    x1 = x1 / ls
+    x2 = x2 / ls
+    return outputscale * jnp.exp(-0.5 * _sq_dists(x1, x2))
+
+
+def matern52_kernel(
+    x1: jax.Array,
+    x2: jax.Array,
+    lengthscale,
+    outputscale,
+) -> jax.Array:
+    """Matern-5/2 (ARD) kernel, parity with the botorch SingleTaskGP default
+    covariance used by the GP hyperprior-mixture prior (reference
+    priors/fast_gp_mix.py:24-55)."""
+    ls = jnp.asarray(lengthscale)
+    d = jnp.sqrt(_sq_dists(x1 / ls, x2 / ls) + 1e-20)
+    sqrt5_d = jnp.sqrt(5.0) * d
+    return outputscale * (1.0 + sqrt5_d + (5.0 / 3.0) * d * d) * jnp.exp(-sqrt5_d)
+
+
+def gp_sample_paths(
+    key: jax.Array,
+    x: jax.Array,
+    lengthscale,
+    outputscale,
+    noise,
+    kernel=rbf_kernel,
+    jitter: float = 1e-6,
+) -> jax.Array:
+    """Sample y ~ N(0, K(x, x) + noise * I) per dataset in the batch.
+
+    ``x``: (B, T, F); hyperparameters may be scalars (shared) or have a
+    leading (B,) axis (per-dataset, used by the hyperprior-mixture prior).
+    Returns y: (B, T), float32. Parity: the one-shot prior+likelihood sample
+    at reference priors/fast_gp.py:53-56.
+    """
+    B, T, _ = x.shape
+
+    def per_dataset(k, xb, ls, os_, nz):
+        K = kernel(xb.astype(jnp.float32), xb.astype(jnp.float32), ls, os_)
+        A = K + (nz + jitter) * jnp.eye(T, dtype=jnp.float32)
+        L = jax.lax.linalg.cholesky(A)
+        z = jax.random.normal(k, (T,), dtype=jnp.float32)
+        return L @ z
+
+    keys = jax.random.split(key, B)
+
+    # Broadcast hyperparameters to a leading batch axis uniformly.
+    def bcast(h):
+        h = jnp.asarray(h, jnp.float32)
+        if h.ndim > 0 and h.shape[0] == B:
+            return h
+        return jnp.broadcast_to(h, (B,) + h.shape)
+
+    return jax.vmap(per_dataset)(
+        keys, x, bcast(lengthscale), bcast(outputscale), bcast(noise)
+    )
+
+
+def gp_posterior(
+    x_train: jax.Array,
+    y_train: jax.Array,
+    x_query: jax.Array,
+    lengthscale,
+    outputscale,
+    noise,
+    kernel=rbf_kernel,
+    jitter: float = 1e-6,
+    context_mask: jax.Array | None = None,
+):
+    """Exact GP posterior predictive (mean, variance) at query points.
+
+    ``x_train``: (N, F), ``y_train``: (N,), ``x_query``: (M, F). If
+    ``context_mask`` (N,) bool is given, masked-out rows are excluded from
+    conditioning *without changing shapes*: their rows/columns of the train
+    covariance are replaced by identity and their cross-covariances zeroed,
+    which makes the Cholesky solve the submatrix system exactly — this is how
+    the evaluation oracle sweeps context sizes t=1..T-1 in one batched call
+    (replacing the per-t refit loop of reference priors/fast_gp.py:95-117).
+
+    Returned variance *includes* observation noise (the reference scores
+    ``likelihood(model(x))``, fast_gp.py:103-104).
+    """
+    xt = x_train.astype(jnp.float32)
+    xq = x_query.astype(jnp.float32)
+    N = xt.shape[0]
+    K = kernel(xt, xt, lengthscale, outputscale)
+    k_star = kernel(xt, xq, lengthscale, outputscale)  # (N, M)
+    y = y_train.astype(jnp.float32)
+    if context_mask is not None:
+        m = context_mask.astype(jnp.float32)
+        K = K * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+        k_star = k_star * m[:, None]
+        y = y * m
+        A = K + jnp.diag(m) * (noise + jitter)
+    else:
+        A = K + (noise + jitter) * jnp.eye(N, dtype=jnp.float32)
+    L = jax.lax.linalg.cholesky(A)
+    alpha = jax.scipy.linalg.cho_solve((L, True), y)
+    mean = k_star.T @ alpha
+    v = jax.scipy.linalg.solve_triangular(L, k_star, lower=True)
+    kqq = kernel(xq, xq, lengthscale, outputscale)
+    var_f = jnp.diagonal(kqq) - jnp.sum(v * v, axis=0)
+    var = jnp.maximum(var_f, 0.0) + noise
+    return mean, var

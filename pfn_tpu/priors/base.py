@@ -1,0 +1,92 @@
+"""Prior protocol and the host-iteration adapter.
+
+The reference lifts ``get_batch`` functions into torch DataLoaders with
+``get_batch_to_dataloader`` (reference priors/utils.py:14-42). Here the core
+object is the :class:`Prior` protocol (pure ``sample`` from a key); for code
+that wants a host-side iterator (e.g. notebooks, borders estimation), the
+:func:`make_dataloader` adapter wraps a Prior into an infinite-regeneration
+iterable with the same ``(data=(x, y), target_y)`` yield shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Protocol, Tuple, runtime_checkable
+
+import jax
+import jax.numpy as jnp
+
+
+@runtime_checkable
+class Prior(Protocol):
+    """A synthetic-dataset prior: a pure sampler over (x, y, target_y)."""
+
+    num_features: int
+    num_outputs: int
+
+    def sample(
+        self, key: jax.Array, batch_size: int, seq_len: int
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Return x: (B, T, F), y: (B, T), target_y: (B, T)."""
+        ...
+
+
+@dataclasses.dataclass
+class PriorDataLoader:
+    """Host-side infinite iterator over freshly sampled prior batches.
+
+    Mirrors the reference DataLoader behavior (priors/utils.py:35-39): each
+    iteration step regenerates a brand-new batch. ``__iter__`` yields
+    ``((x, y), target_y)`` like the reference's non-fused path
+    (priors/utils.py:33). Arrays are (B, T, ...) batch-first (TPU layout; the
+    reference is seq-first).
+    """
+
+    prior: Prior
+    num_steps: int
+    batch_size: int
+    seq_len: int
+    seed: int = 0
+
+    def __post_init__(self):
+        self.num_features = self.prior.num_features
+        self.num_outputs = self.prior.num_outputs
+        self._sample = jax.jit(
+            lambda key: self.prior.sample(key, self.batch_size, self.seq_len)
+        )
+
+    def __len__(self) -> int:
+        return self.num_steps
+
+    def __iter__(self) -> Iterator:
+        key = jax.random.PRNGKey(self.seed)
+        for _ in range(self.num_steps):
+            key, sub = jax.random.split(key)
+            x, y, target_y = self._sample(sub)
+            yield (x, y), target_y
+
+    def validate(self, model_fn) -> float | None:  # hook parity: priors/prior.py:12
+        """Optional validation hook; priors may override via their own loader."""
+        return None
+
+
+def make_dataloader(
+    prior: Prior, num_steps: int, batch_size: int, seq_len: int, seed: int = 0
+) -> PriorDataLoader:
+    """Adapter from the pure Prior protocol to a host iterable (parity with
+    get_batch_to_dataloader, reference priors/utils.py:14-42)."""
+    return PriorDataLoader(prior, num_steps, batch_size, seq_len, seed)
+
+
+def sample_y_for_buckets(
+    prior: Prior, n_samples: int, seq_len: int, seed: int = 0
+) -> jnp.ndarray:
+    """Draw a flat sample of target ys to estimate adaptive bucket borders.
+
+    Parity: the throwaway-dataloader trick at reference train.py:214-219.
+    """
+    batch = max(1, n_samples // seq_len)
+    _, _, target_y = jax.jit(
+        lambda key: prior.sample(key, batch, seq_len)
+    )(jax.random.PRNGKey(seed))
+    return target_y.reshape(-1)

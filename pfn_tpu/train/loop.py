@@ -1,0 +1,289 @@
+"""The fused pjit training loop.
+
+Behavioral parity with reference train.py:22-135 — model construction from
+criterion-dependent head width (:34-39), Adam + cosine-warmup-per-epoch
+scheduler (:55-56,134), per-step eval-position sampling (:69), loss over eval
+positions only (:75-92), gradient accumulation with summed gradients and
+global-norm clip 1.0 every k batches (:65,93-97), per-position loss
+bookkeeping (:99-108), validation hooks (:119-121).
+
+TPU-first redesign:
+  * ONE jitted step contains everything: prior sampling (on device from a
+    PRNG key), eval-pos draw, forward, masked loss, grad, clip, Adam update.
+    There is no host dataloader and no H2D copy per step (cf. reference
+    train.py:66-71, the device boundary noted in SURVEY.md §3.1).
+  * ``single_eval_pos`` is a traced scalar -> one compilation total. Loss is
+    masked (positions >= sep), not sliced.
+  * ``aggregate_k_gradients`` is a ``lax.scan`` over k microbatches inside
+    the step, summing gradients like the reference's repeated .backward()
+    (train.py:93-97 — the reference does NOT average over k; we match).
+  * Data parallelism: batch sharded over the mesh 'dp' axis; params
+    replicated or tensor-sharded over 'tp' (see pfn_tpu.parallel.mesh). XLA
+    inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pfn_tpu.models.transformer import PFNTransformer, TransformerConfig, num_params
+from pfn_tpu.parallel.mesh import batch_sharding, param_sharding, replicate
+from pfn_tpu.train.losses import Criterion
+from pfn_tpu.utils.samplers import make_eval_pos_weights
+from pfn_tpu.utils.schedules import cosine_schedule_with_warmup, get_openai_lr
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Mirrors the reference train() signature (train.py:22-27)."""
+
+    emsize: int = 200
+    nhid: int = 200
+    nlayers: int = 6
+    nhead: int = 2
+    dropout: float = 0.0
+    epochs: int = 10
+    steps_per_epoch: int = 100
+    batch_size: int = 200
+    bptt: int = 10
+    lr: float | None = None
+    warmup_epochs: int = 10
+    input_normalization: bool = False
+    aggregate_k_gradients: int = 1
+    eval_pos_sampler: str = "uniform"  # 'uniform' | 'weighted' | 'fixed'
+    eval_pos_max: int | None = None  # cap (<= bptt); parity: permutation_invariant_max_eval_pos
+    fixed_eval_pos: int | None = None
+    validation_period: int = 10
+    seed: int = 0
+    verbose: bool = True
+    attention_impl: str = "auto"
+    dtype: Any = jnp.float32
+    encoder: Callable | None = None
+    y_encoder: Callable | None = None
+    pos_encoder: Callable | None = None
+    decoder: Callable | None = None
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+@dataclasses.dataclass
+class TrainResult:
+    final_loss: float
+    positional_losses: list
+    params: Any
+    model: PFNTransformer
+    criterion: Criterion
+    config: TrainConfig
+    epoch_stats: list
+
+
+def build_model(prior, criterion: Criterion, cfg: TrainConfig) -> PFNTransformer:
+    n_out = criterion.n_out(prior.num_outputs)
+    mcfg = TransformerConfig(
+        num_features=prior.num_features,
+        n_out=n_out,
+        emsize=cfg.emsize,
+        nhead=cfg.nhead,
+        nhid=cfg.nhid,
+        nlayers=cfg.nlayers,
+        dropout=cfg.dropout,
+        input_normalization=cfg.input_normalization,
+        attention_impl=cfg.attention_impl,
+        dtype=cfg.dtype,
+        encoder=cfg.encoder,
+        y_encoder=cfg.y_encoder,
+        pos_encoder=cfg.pos_encoder,
+        decoder=cfg.decoder,
+        max_len=max(cfg.bptt * 2, 16),
+    )
+    return PFNTransformer(mcfg)
+
+
+def _make_optimizer(cfg: TrainConfig, param_count: int):
+    base_lr = cfg.lr if cfg.lr is not None else get_openai_lr(param_count)
+    epoch_schedule = cosine_schedule_with_warmup(
+        base_lr, cfg.warmup_epochs, cfg.epochs
+    )
+    updates_per_epoch = max(1, cfg.steps_per_epoch // cfg.aggregate_k_gradients)
+    # The reference steps the scheduler once per epoch (train.py:134): the LR
+    # is a function of the epoch index, constant within an epoch.
+    step_schedule = lambda count: epoch_schedule(count // updates_per_epoch)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(step_schedule),
+    )
+    return tx, base_lr, step_schedule
+
+
+def _sample_eval_pos(key, cfg: TrainConfig):
+    if cfg.eval_pos_sampler == "fixed":
+        return jnp.asarray(cfg.fixed_eval_pos, jnp.int32)
+    max_len = cfg.eval_pos_max or cfg.bptt
+    logits = jnp.log(make_eval_pos_weights(max_len, cfg.eval_pos_sampler))
+    return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+def make_train_step(model, prior, criterion: Criterion, cfg: TrainConfig, tx, mesh=None):
+    """Build the single fused jittable step: (state, key) -> (state, metrics)."""
+    micro_batch = cfg.batch_size
+    k = cfg.aggregate_k_gradients
+    data_sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def microbatch_loss(params, key):
+        k_data, k_sep, k_drop = jax.random.split(key, 3)
+        x, y, target_y = prior.sample(k_data, micro_batch, cfg.bptt)
+        if data_sharding is not None:
+            # Shard the on-device-generated batch over 'dp' so every device
+            # samples + trains on its own slice of datasets.
+            x, y, target_y = jax.lax.with_sharding_constraint(
+                (x, y, target_y), data_sharding
+            )
+        sep = _sample_eval_pos(k_sep, cfg)
+        out = model.apply(
+            params,
+            x,
+            y,
+            sep,
+            deterministic=cfg.dropout == 0.0,
+            rngs={"dropout": k_drop} if cfg.dropout > 0 else None,
+        )
+        losses = criterion.per_position(out, target_y)  # (B, T)
+        mask = jnp.broadcast_to(
+            jnp.arange(cfg.bptt)[None, :] >= sep, losses.shape
+        ).astype(losses.dtype)
+        loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        return loss, sep
+
+    def train_step(state: TrainState, key):
+        keys = jax.random.split(key, k)
+
+        def micro(carry, mkey):
+            grad_sum, loss_sum, pos_loss, pos_cnt = carry
+            (loss, sep), grads = jax.value_and_grad(
+                microbatch_loss, has_aux=True
+            )(state.params, mkey)
+            grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+            onehot = jax.nn.one_hot(sep, cfg.bptt)
+            return (
+                grad_sum,
+                loss_sum + loss,
+                pos_loss + onehot * loss,
+                pos_cnt + onehot,
+            ), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        init = (
+            zero_grads,
+            jnp.zeros(()),
+            jnp.zeros(cfg.bptt),
+            jnp.zeros(cfg.bptt),
+        )
+        (grads, loss_sum, pos_loss, pos_cnt), _ = jax.lax.scan(micro, init, keys)
+        # Summed (not averaged) gradients over k microbatches, then clip —
+        # matches reference train.py:93-97.
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        metrics = {
+            "loss": loss_sum / k,
+            "pos_loss": pos_loss,
+            "pos_cnt": pos_cnt,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def train(
+    prior,
+    criterion: Criterion,
+    cfg: TrainConfig,
+    mesh=None,
+    init_params=None,
+    validate_fn: Callable | None = None,
+) -> TrainResult:
+    """Meta-train a PFN on a prior. Returns the trained params + stats.
+
+    ``validate_fn(model, params) -> float`` is the validation hook analog of
+    the reference's dl.validate (train.py:119-121).
+    """
+    model = build_model(prior, criterion, cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, init_key = jax.random.split(key)
+    params = init_params if init_params is not None else model.init_params(
+        init_key, seq_len=cfg.bptt
+    )
+    tx, base_lr, schedule = _make_optimizer(cfg, num_params(params))
+    if mesh is not None:
+        # Place params per the tp rules; tx.init derives the optimizer state
+        # from the params eagerly, so its sharding follows automatically.
+        params = jax.device_put(params, param_sharding(params, mesh))
+    state = TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )
+    step_fn = make_train_step(model, prior, criterion, cfg, tx, mesh=mesh)
+    step_jit = jax.jit(step_fn, donate_argnums=0)
+
+    updates_per_epoch = max(1, cfg.steps_per_epoch // cfg.aggregate_k_gradients)
+    assert cfg.steps_per_epoch % cfg.aggregate_k_gradients == 0, (
+        "steps_per_epoch must be divisible by aggregate_k_gradients"
+    )  # parity: reference train.py:65
+
+    epoch_stats = []
+    total_loss = float("inf")
+    positional = [float("nan")] * cfg.bptt
+    for epoch in range(1, cfg.epochs + 1):
+        t0 = time.time()
+        loss_acc = 0.0
+        pos_loss_acc = jnp.zeros(cfg.bptt)
+        pos_cnt_acc = jnp.zeros(cfg.bptt)
+        for _ in range(updates_per_epoch):
+            key, sub = jax.random.split(key)
+            state, metrics = step_jit(state, sub)
+            loss_acc += float(metrics["loss"])
+            pos_loss_acc = pos_loss_acc + metrics["pos_loss"]
+            pos_cnt_acc = pos_cnt_acc + metrics["pos_cnt"]
+        total_loss = loss_acc / updates_per_epoch
+        positional = (pos_loss_acc / jnp.maximum(pos_cnt_acc, 1.0)).tolist()
+        val_score = None
+        if validate_fn is not None and epoch % cfg.validation_period == 0:
+            val_score = validate_fn(model, state.params)
+        lr_now = float(schedule((epoch - 1) * updates_per_epoch))
+        stats = {
+            "epoch": epoch,
+            "mean_loss": total_loss,
+            "lr": lr_now,
+            "epoch_time": time.time() - t0,
+            "val_score": val_score,
+        }
+        epoch_stats.append(stats)
+        if cfg.verbose:
+            print(
+                f"| epoch {epoch:3d} | time {stats['epoch_time']:5.2f}s "
+                f"| mean loss {total_loss:5.3f} | lr {lr_now:.2e}"
+                + (f" | val {val_score}" if val_score is not None else "")
+            )
+
+    return TrainResult(
+        final_loss=total_loss,
+        positional_losses=positional,
+        params=jax.device_get(state.params),
+        model=model,
+        criterion=criterion,
+        config=cfg,
+        epoch_stats=epoch_stats,
+    )

@@ -1,0 +1,38 @@
+"""Evaluation-position (``single_eval_pos``) samplers.
+
+The reference samples the train/eval split position on the host each step
+(reference utils.py:59-73, train.py:69). Here the samplers are pure functions
+of a PRNG key so the draw happens *inside* the jitted train step, keeping the
+whole step fused on device. ``single_eval_pos`` then feeds loss masking and
+the attention op as a traced scalar — no recompilation across draws.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def make_eval_pos_weights(max_len: int, kind: str = "weighted") -> jnp.ndarray:
+    """Unnormalized weights over positions 0..max_len-1.
+
+    ``weighted``: p(i) ∝ 1/(max_len - i) — favors long contexts, parity with
+    get_weighted_single_eval_pos_sampler (reference utils.py:59-65).
+    ``uniform``: parity with get_uniform_single_eval_pos_sampler (:68-73).
+    """
+    if kind == "weighted":
+        return 1.0 / (max_len - jnp.arange(max_len, dtype=jnp.float32))
+    if kind == "uniform":
+        return jnp.ones(max_len, dtype=jnp.float32)
+    raise ValueError(f"unknown sampler kind {kind!r}")
+
+
+def weighted_single_eval_pos(key: jax.Array, max_len: int) -> jax.Array:
+    """Sample i ~ p(i) ∝ 1/(max_len - i) on device."""
+    logits = jnp.log(make_eval_pos_weights(max_len, "weighted"))
+    return jax.random.categorical(key, logits)
+
+
+def uniform_single_eval_pos(key: jax.Array, max_len: int) -> jax.Array:
+    """Sample i uniformly from [0, max_len) on device."""
+    return jax.random.randint(key, (), 0, max_len)

@@ -1,0 +1,142 @@
+"""Prior sampler statistical tests: the on-device generators must produce
+data with the distributional properties the reference's torch/gpytorch
+samplers have (SURVEY.md §4 item a/b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfn_tpu.ops.gp_sample import rbf_kernel, matern52_kernel
+from pfn_tpu.priors.gp import GPPrior
+from pfn_tpu.priors.gp_mix import GPMixPrior
+from pfn_tpu.priors.mlp import MLPPrior
+from pfn_tpu.priors.module import ModulePrior
+from pfn_tpu.priors.binarize import binarized_gp_prior
+from pfn_tpu.priors.ridge import RidgePrior
+
+
+def test_ridge_shapes_and_stats():
+    prior = RidgePrior(num_features=3, noisy_std=0.01)
+    x, y, yc = prior.sample(jax.random.PRNGKey(0), 512, 20)
+    assert x.shape == (512, 20, 3) and y.shape == (512, 20) and yc.shape == (512, 20)
+    # y ~ w.x with w ~ N(0, .1^2), x ~ U(0,1): E[y] = 0.
+    assert abs(float(y.mean())) < 0.01
+    # Noise std matches.
+    assert abs(float((y - yc).std()) - 0.01) < 0.002
+
+
+def test_gp_marginal_variance_and_kernel():
+    hp = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
+    prior = GPPrior(num_features=1, **hp)
+    x, y, _ = prior.sample(jax.random.PRNGKey(1), 4096, 16)
+    # Marginal variance = outputscale + noise.
+    assert abs(float((y**2).mean()) - 1.0001) < 0.05
+    # Empirical covariance of two nearby points matches the RBF kernel.
+    prior_eq = GPPrior(num_features=1, equidistant_x=True, **hp)
+    x, y, _ = prior_eq.sample(jax.random.PRNGKey(2), 8192, 8)
+    emp_cov = float((y[:, 0] * y[:, 1]).mean())
+    d = float(x[0, 1, 0] - x[0, 0, 0])
+    expected = float(np.exp(-0.5 * d**2 / 0.6**2))
+    assert abs(emp_cov - expected) < 0.05
+
+
+def test_gp_default_hyperparameters_match_reference():
+    # Defaults are {noise: .1, outputscale: .1, lengthscale: .1}
+    # (reference priors/fast_gp.py:40).
+    p = GPPrior()
+    assert (p.noise, p.outputscale, p.lengthscale) == (0.1, 0.1, 0.1)
+    _, y, _ = p.sample(jax.random.PRNGKey(3), 4096, 8)
+    assert abs(float((y**2).mean()) - 0.2) < 0.02
+
+
+def test_kernels_basic_properties():
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 2))
+    for kern in (rbf_kernel, matern52_kernel):
+        K = kern(x, x, lengthscale=0.7, outputscale=2.0)
+        np.testing.assert_allclose(np.diag(np.asarray(K)), 2.0, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(K), np.asarray(K).T, atol=1e-5)
+        evals = np.linalg.eigvalsh(np.asarray(K))
+        assert evals.min() > -1e-4
+
+
+def test_gp_mix_group_sharing_and_range():
+    prior = GPMixPrior(num_features=2, batch_size_per_gp_sample=8)
+    noise, ls, os_ = prior.sample_hypers(jax.random.PRNGKey(0), 32)
+    assert noise.shape == (32,) and ls.shape == (32, 2) and os_.shape == (32,)
+    # Hypers shared within groups of 8.
+    assert float(jnp.abs(noise[:8] - noise[0]).max()) == 0.0
+    assert float(jnp.abs(noise[8] - noise[0])) > 0.0
+
+    x, y, _ = prior.sample(jax.random.PRNGKey(1), 32, 10)
+    assert x.shape == (32, 10, 2) and y.shape == (32, 10)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_gp_mix_fix_to_range():
+    prior = GPMixPrior(
+        num_features=1, batch_size_per_gp_sample=4, fix_to_range=(-2.0, 2.0)
+    )
+    _, y, _ = prior.sample(jax.random.PRNGKey(2), 16, 12)
+    assert float(y.min()) >= -2.0 and float(y.max()) < 2.0
+
+
+def test_gp_mix_sigmoid_and_minmax():
+    for kwargs in (dict(sigmoid=True), dict(y_minmax_norm=True)):
+        prior = GPMixPrior(num_features=1, batch_size_per_gp_sample=4, **kwargs)
+        _, y, _ = prior.sample(jax.random.PRNGKey(3), 8, 10)
+        assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+
+def test_mlp_prior_shapes_and_normalization():
+    prior = MLPPrior(num_features=4, batch_size_per_sample=4, max_layers=5)
+    x, y, _ = prior.sample(jax.random.PRNGKey(0), 16, 32)
+    assert x.shape == (16, 32, 4) and y.shape == (16, 32)
+    # z-scored per dataset over the sequence axis.
+    np.testing.assert_allclose(np.asarray(y.mean(axis=1)), 0.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(y.std(axis=1)), 1.0, atol=0.05)
+
+
+def test_mlp_prior_binary_classification():
+    prior = MLPPrior(
+        num_features=2, batch_size_per_sample=4, is_binary_classification=True
+    )
+    _, y, _ = prior.sample(jax.random.PRNGKey(1), 8, 20)
+    vals = np.unique(np.asarray(y))
+    assert set(vals).issubset({0.0, 1.0})
+
+
+def test_mlp_prior_causal_mode():
+    prior = MLPPrior(
+        num_features=3, batch_size_per_sample=4, is_causal=True, max_hidden=32
+    )
+    x, y, _ = prior.sample(jax.random.PRNGKey(2), 8, 16)
+    assert x.shape == (8, 16, 3)
+    assert np.isfinite(np.asarray(x)).all() and np.isfinite(np.asarray(y)).all()
+
+
+def test_module_prior_custom_sampler():
+    # Bring-your-own-prior: a linear model with a per-model sampled slope.
+    def sample_fn(model_key, data_key, seq_len):
+        slope = jax.random.normal(model_key, ())
+        x = jax.random.uniform(data_key, (seq_len, 1))
+        return x, slope * x[:, 0]
+
+    prior = ModulePrior(sample_fn=sample_fn, num_features=1, batch_size_per_model=4)
+    x, y, _ = prior.sample(jax.random.PRNGKey(0), 8, 10)
+    assert x.shape == (8, 10, 1) and y.shape == (8, 10)
+
+
+def test_binarized_prior_labels():
+    prior = binarized_gp_prior(num_features=1)
+    assert prior.num_outputs == 2
+    _, y, _ = prior.sample(jax.random.PRNGKey(0), 32, 10)
+    assert set(np.unique(np.asarray(y))).issubset({0.0, 1.0})
+
+
+def test_prior_sampling_is_jittable_and_deterministic():
+    prior = GPPrior(num_features=2)
+    f = jax.jit(lambda k: prior.sample(k, 8, 10))
+    x1, y1, _ = f(jax.random.PRNGKey(7))
+    x2, y2, _ = f(jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))

