@@ -1,24 +1,323 @@
 """Pallas flash-attention kernel specialized to the PFN mask.
 
-Mask structure (see pfn_tpu.ops.attention): query q attends to keys
-{k < sep} ∪ {q}. Blockwise this means:
-  * KV block entirely below sep: plain unmasked flash block.
-  * KV block straddling sep: mask columns >= sep, except the diagonal.
-  * KV block past sep: only the diagonal block contributes (k == q), and only
-    for queries q >= sep.
+The PFN attention rule (reference transformer.py:35-41): query i attends to
+keys {j < sep} ∪ {i}. Blockwise (BQ == BK == BLOCK):
+  * KV block fully inside the train prefix (end <= sep): unmasked flash step;
+  * KV block straddling sep: mask columns >= sep except the diagonal;
+  * KV block past sep: contributes ONLY if it is the diagonal block of the
+    query block (k == q there), otherwise it is skipped outright.
 
-Placeholder: the kernel lands in a later milestone; ``flash_supported``
-returns False so ``pfn_attention(impl='auto')`` uses the dense path.
+So the kernel touches O(T * sep / BLOCK^2 + T/BLOCK) blocks and never
+materializes a (T, T) mask or score matrix — the reference builds the full
+additive mask on host per step (transformer.py:60-65) and torch materializes
+(B, H, T, T) scores; at bptt=2010 that is the dominant HBM cost this kernel
+removes.
+
+``single_eval_pos`` arrives via scalar prefetch (SMEM) so it can be a traced
+value — one compilation covers all sep draws.
+
+Forward saves the per-row logsumexp for the backward pass; backward uses the
+standard flash decomposition (dv = P^T dO, ds = P * (dp - rowsum(dO*O)),
+dq = ds K, dk = ds^T Q) with the same block-skip rule, implemented as two
+Pallas kernels (dq over q-rows; dk/dv over kv-rows).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 128
+_NEG_INF = -1e30
+
+
+def _block_mask(qi, kj, sep, valid_len):
+    """(BLOCK, BLOCK) bool: key allowed for query, in global coordinates."""
+    qs = qi * BLOCK + jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    ks = kj * BLOCK + jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+    return ((ks < sep) | (ks == qs)) & (ks < valid_len)
+
+
+def _fwd_kernel(sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i):
+    qi, kj = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+    sep = sep_ref[0]
+    valid_len = len_ref[0]
+
+    @pl.when(kj == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        m_i[:] = jnp.full_like(m_i, _NEG_INF)
+        l_i[:] = jnp.zeros_like(l_i)
+
+    # Skip blocks with no allowed columns: past sep and not the diagonal.
+    block_needed = (kj * BLOCK < sep) | (kj == qi)
+
+    @pl.when(block_needed)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK) — scale applied by caller on q
+        s = jnp.where(_block_mask(qi, kj, sep, valid_len), s, _NEG_INF)
+
+        m_prev = m_i[:]
+        l_prev = l_i[:]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur)
+        l_i[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_i[:] = m_cur
+        v = v_ref[0].astype(jnp.float32)
+        acc[:] = acc[:] * alpha + jax.lax.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kj == nk - 1)
+    def _finish():
+        l = jnp.maximum(l_i[:], 1e-30)
+        o_ref[0] = (acc[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_i[:] + jnp.log(l)
+
+
+def _bwd_dq_kernel(
+    sep_ref, len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc
+):
+    qi, kj = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+    sep = sep_ref[0]
+    valid_len = len_ref[0]
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    block_needed = (kj * BLOCK < sep) | (kj == qi)
+
+    @pl.when(block_needed)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(_block_mask(qi, kj, sep, valid_len), s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dq_acc[:] = dq_acc[:] + jax.lax.dot(
+            ds, k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kj == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    sep_ref, len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc
+):
+    # Grid: (BH, nKV, nQ) — iterate query blocks for a fixed kv block.
+    kj, qi = pl.program_id(1), pl.program_id(2)
+    nq = pl.num_programs(2)
+    sep = sep_ref[0]
+    valid_len = len_ref[0]
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    block_needed = (kj * BLOCK < sep) | (kj == qi)
+
+    @pl.when(block_needed)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = jnp.where(_block_mask(qi, kj, sep, valid_len), s, _NEG_INF)
+        p = jnp.exp(s - lse)  # (BQ, BK)
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _pad(x, tp):
+    t = x.shape[1]
+    if t == tp:
+        return x
+    return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+
+
+def _fwd_impl(q, k, v, sep, valid_len):
+    """q,k,v: (BH, Tp, D) already padded & scaled. Returns (o, lse)."""
+    BH, Tp, D = q.shape
+    nblocks = Tp // BLOCK
+    grid = (BH, nblocks, nblocks)
+    sep = jnp.asarray(sep, jnp.int32).reshape(1)
+    valid_len = jnp.asarray(valid_len, jnp.int32).reshape(1)
+
+    kv_spec = pl.BlockSpec(
+        (1, BLOCK, D), lambda b, qi, kj, *_: (b, kj, 0), memory_space=pltpu.VMEM
+    )
+    q_spec = pl.BlockSpec(
+        (1, BLOCK, D), lambda b, qi, kj, *_: (b, qi, 0), memory_space=pltpu.VMEM
+    )
+    o, lse = pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, BLOCK, D),
+                    lambda b, qi, kj, *_: (b, qi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, BLOCK, 1),
+                    lambda b, qi, kj, *_: (b, qi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK, D), jnp.float32),
+                pltpu.VMEM((BLOCK, 1), jnp.float32),
+                pltpu.VMEM((BLOCK, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tp, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, Tp, 1), jnp.float32),
+        ],
+    )(sep, valid_len, q, k, v)
+    return o, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _flash(q, k, v, sep, valid_len):
+    o, _ = _fwd_impl(q, k, v, sep, valid_len)
+    return o
+
+
+def _flash_fwd(q, k, v, sep, valid_len):
+    o, lse = _fwd_impl(q, k, v, sep, valid_len)
+    return o, (q, k, v, o, lse, sep, valid_len)
+
+
+def _flash_bwd(res, do):
+    q, k, v, o, lse, sep, valid_len = res
+    BH, Tp, D = q.shape
+    nblocks = Tp // BLOCK
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
+    sep_arr = jnp.asarray(sep, jnp.int32).reshape(1)
+    len_arr = jnp.asarray(valid_len, jnp.int32).reshape(1)
+
+    def spec3(index_map):
+        return pl.BlockSpec((1, BLOCK, D), index_map, memory_space=pltpu.VMEM)
+
+    def spec2(index_map):
+        return pl.BlockSpec((1, BLOCK, 1), index_map, memory_space=pltpu.VMEM)
+
+    by_q = lambda b, i, j, *_: (b, i, 0)
+    by_k = lambda b, i, j, *_: (b, j, 0)
+    by_q2 = lambda b, i, j, *_: (b, i, 0)
+    # dq: grid (BH, nQ, nKV)
+    dq = pl.pallas_call(
+        _bwd_dq_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(BH, nblocks, nblocks),
+            in_specs=[spec3(by_q), spec3(by_k), spec3(by_k), spec3(by_q),
+                      spec2(by_q2), spec2(by_q2)],
+            out_specs=spec3(by_q),
+            scratch_shapes=[pltpu.VMEM((BLOCK, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, Tp, D), q.dtype),
+    )(sep_arr, len_arr, q, k, v, do, lse, delta)
+
+    # dk/dv: grid (BH, nKV, nQ) — program_id(1) is the kv block.
+    by_kv_outer = lambda b, j, i, *_: (b, j, 0)
+    by_q_inner = lambda b, j, i, *_: (b, i, 0)
+    by_q2_inner = lambda b, j, i, *_: (b, i, 0)
+    dk, dv = pl.pallas_call(
+        _bwd_dkv_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(BH, nblocks, nblocks),
+            in_specs=[spec3(by_q_inner), spec3(by_kv_outer), spec3(by_kv_outer),
+                      spec3(by_q_inner), spec2(by_q2_inner), spec2(by_q2_inner)],
+            out_specs=[spec3(by_kv_outer), spec3(by_kv_outer)],
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK, D), jnp.float32),
+                pltpu.VMEM((BLOCK, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tp, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, Tp, D), v.dtype),
+        ],
+    )(sep_arr, len_arr, q, k, v, do, lse, delta)
+    return dq, dk, dv, None, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_supported(q: jax.Array) -> bool:
-    return False
+    """Auto-dispatch predicate: flash wins when the sequence is long enough
+    that the dense path's (B, H, T, T) score materialization costs HBM
+    traffic (measured crossover on v5e ≈ a few hundred tokens); below that
+    XLA's fused dense attention is faster. Requires lane-aligned head_dim."""
+    T, D = q.shape[-2], q.shape[-1]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    return on_tpu and D % 128 == 0 and T >= 256
 
 
-def pfn_flash_attention(q, k, v, single_eval_pos):
-    raise NotImplementedError("Pallas PFN flash attention lands in a later milestone")
+def pfn_flash_attention(q, k, v, single_eval_pos, scale=None):
+    """Flash PFN attention. q,k,v: (B, H, T, Dh) -> (B, H, T, Dh).
+
+    Equivalent to pfn_attention_reference for any traced single_eval_pos.
+    T is padded to a multiple of 128 internally; Dh should be a multiple of
+    128 for MXU efficiency (smaller Dh works but wastes lanes).
+    """
+    B, H, T, D = q.shape
+    scale = scale if scale is not None else 1.0 / (D**0.5)
+    Tp = ((T + BLOCK - 1) // BLOCK) * BLOCK
+    qf = _pad((q * scale).reshape(B * H, T, D), Tp)
+    kf = _pad(k.reshape(B * H, T, D), Tp)
+    vf = _pad(v.reshape(B * H, T, D), Tp)
+    sep = jnp.asarray(single_eval_pos, jnp.int32)
+    o = _flash(qf, kf, vf, sep, jnp.asarray(T, jnp.int32))
+    return o[:, :T, :].reshape(B, H, T, D)
