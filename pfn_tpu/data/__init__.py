@@ -1,0 +1,31 @@
+"""Real-data loaders (host-side) for the tabular benchmark."""
+
+from pfn_tpu.data.datasets import (
+    class_balance_interleave,
+    get_breast_cancer,
+    get_2class_iris,
+    get_2class_wine,
+    get_iris,
+    get_wine,
+    get_diabetes,
+    get_linnerud,
+    load_local_benchmark,
+    load_openml_list,
+    valid_dids_classification,
+    test_dids_classification,
+)
+
+__all__ = [
+    "class_balance_interleave",
+    "get_breast_cancer",
+    "get_2class_iris",
+    "get_2class_wine",
+    "get_iris",
+    "get_wine",
+    "get_diabetes",
+    "get_linnerud",
+    "load_local_benchmark",
+    "load_openml_list",
+    "valid_dids_classification",
+    "test_dids_classification",
+]

@@ -6,6 +6,7 @@ from pfn_tpu.evals.oracles import (
     bayes_linreg_posterior,
 )
 from pfn_tpu.evals.harness import eval_positional_loss, pfn_predict
+from pfn_tpu.evals import comparison, inference, tabular
 
 __all__ = [
     "gp_exact_evaluate",
@@ -13,4 +14,7 @@ __all__ = [
     "bayes_linreg_posterior",
     "eval_positional_loss",
     "pfn_predict",
+    "comparison",
+    "inference",
+    "tabular",
 ]

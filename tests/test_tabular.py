@@ -1,0 +1,111 @@
+"""Tabular benchmark harness tests: window protocol, baselines, PFN branch
+(SURVEY.md §3.4)."""
+
+import numpy as np
+import pytest
+
+from pfn_tpu.data import (
+    class_balance_interleave,
+    get_2class_iris,
+    get_breast_cancer,
+    load_local_benchmark,
+)
+from pfn_tpu.evals.tabular import (
+    build_windows,
+    evaluate,
+    evaluate_position_baseline,
+    evaluate_position_pfn,
+    knn_metric,
+    logistic_metric,
+)
+
+
+def test_class_balance_interleave():
+    X = np.arange(20, dtype=np.float32).reshape(10, 2)
+    y = np.array([0, 0, 0, 0, 0, 0, 0, 1, 1, 1], dtype=np.float32)
+    Xb, yb = class_balance_interleave(X, y)
+    assert len(yb) == 6  # 2 * minority count
+    # Interleaved: alternating classes.
+    assert set(np.unique(yb[::2])) != set(np.unique(yb[1::2]))
+    assert yb.mean() == 0.5
+
+
+def test_local_datasets_load():
+    for name, X, y, cats in load_local_benchmark():
+        assert X.ndim == 2 and len(X) == len(y)
+        assert set(np.unique(y)).issubset({0.0, 1.0})
+        # Every window is roughly class-balanced thanks to interleaving.
+        assert 0.3 < y[:50].mean() < 0.7
+
+
+def test_build_windows_seeded():
+    X, y = get_breast_cancer()
+    w1 = build_windows(X, y, bptt=50, max_samples=10)
+    w2 = build_windows(X, y, bptt=50, max_samples=10)
+    np.testing.assert_array_equal(w1[0], w2[0])
+    assert w1[0].shape == (10, 50, X.shape[1])
+
+
+def test_baseline_knn_beats_chance():
+    X, y = get_2class_iris()
+    metrics, outputs, ys = evaluate_position_baseline(
+        knn_metric, X, y, bptt=60, eval_position=30, max_samples=5
+    )
+    assert metrics.mean() > 0.8  # iris is easy
+
+
+def test_baseline_logistic_beats_chance():
+    X, y = get_2class_iris()
+    metrics, _, _ = evaluate_position_baseline(
+        logistic_metric, X, y, bptt=60, eval_position=30, max_samples=3
+    )
+    assert metrics.mean() > 0.8
+
+
+@pytest.fixture(scope="module")
+def tiny_tabular_pfn():
+    """A small PFN trained briefly on the binarized-GP classification prior
+    with a BCE head — the tabular-model recipe at toy scale."""
+    from pfn_tpu.priors.binarize import binarized_gp_prior
+    from pfn_tpu.train import TrainConfig, bce_criterion, train
+    import dataclasses
+
+    prior = binarized_gp_prior(num_features=4, lengthscale=0.5, outputscale=2.0)
+    prior = dataclasses.replace(prior, num_outputs=1)  # BCE head is 1-wide
+    cfg = TrainConfig(
+        emsize=32, nhid=64, nlayers=2, nhead=4, epochs=3, steps_per_epoch=16,
+        batch_size=32, bptt=60, lr=1e-3, warmup_epochs=1,
+        eval_pos_sampler="uniform", verbose=False, attention_impl="dense",
+    )
+    res = train(prior, bce_criterion(), cfg)
+    return res
+
+
+def test_pfn_tabular_branch_runs(tiny_tabular_pfn):
+    res = tiny_tabular_pfn
+    X, y = get_2class_iris()
+    aucs, outputs, ys = evaluate_position_pfn(
+        res.model, res.params, X, y, bptt=60, eval_position=30,
+        max_samples=8, num_features=4,
+    )
+    assert np.isfinite(outputs).all()
+    assert ((0 <= outputs) & (outputs <= 1)).all()
+    assert len(aucs) > 0
+
+
+def test_evaluate_sweep_with_cache(tiny_tabular_pfn, tmp_path):
+    res = tiny_tabular_pfn
+    datasets = load_local_benchmark(max_samples=120)[:1]
+    out = evaluate(
+        datasets, res.model, "pfn", bptt=60, eval_positions=[30],
+        params=res.params, max_samples=4, cache_dir=str(tmp_path),
+        num_features=4,
+    )
+    assert "mean_metric" in out and np.isfinite(out["mean_metric"])
+    # Cache file created; second call loads it.
+    out2 = evaluate(
+        datasets, res.model, "pfn", bptt=60, eval_positions=[30],
+        params=res.params, max_samples=4, cache_dir=str(tmp_path),
+        num_features=4,
+    )
+    assert out2["mean_metric_at_30"] == out["mean_metric_at_30"]
