@@ -1,0 +1,142 @@
+"""Tabular PFN vs classical baselines on real datasets.
+
+Parity: reference notebooks/TabularEvalSimple.ipynb + tabular.py §main — train
+(or load) a classification PFN on a synthetic tabular prior, then score
+ROC-AUC at eval_position=30 over bptt=100 windows against the baseline zoo
+(logistic, KNN, GP classifier, Bayesian-NN SVI, XGBoost, CatBoost —
+tabular.py:325-626). The reference's protocol: 60 padded features, <=400
+class-balanced rows per dataset (tabular.py:628-634).
+
+Dataset source: OpenML when importable+cached (reference datasets lists), else
+the hermetic sklearn-bundled suite (pfn_tpu.data.load_local_benchmark).
+
+Usage:
+    python experiments/tabular_eval.py --quick
+    python experiments/tabular_eval.py --prior mlp --epochs 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--prior", default="mlp", choices=["mlp", "binarized_gp"])
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--bptt", type=int, default=100)
+    p.add_argument("--eval_positions", type=int, nargs="+", default=[30])
+    p.add_argument("--num_features", type=int, default=None)
+    p.add_argument("--max_samples", type=int, default=20)
+    p.add_argument("--baselines", nargs="+",
+                   default=["logistic", "knn", "xgb"],
+                   help="subset of: logistic knn gp bayes_net xgb catboost")
+    p.add_argument("--out", default="results/tabular")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--load", default=None, help="skip training, load params")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from pfn_tpu.data import load_local_benchmark
+    from pfn_tpu.evals import tabular as tab
+    from pfn_tpu.train import TrainConfig, bce_criterion, train
+
+    datasets = load_local_benchmark(max_samples=400)
+    # Model feature width: reference uses 60 padded features; the hermetic
+    # suite's widest dataset works too.
+    data_width = max(d[1].shape[1] for d in datasets)
+    num_features = args.num_features or max(data_width, 30 if args.quick else 60)
+
+    if args.prior == "mlp":
+        from pfn_tpu.priors.mlp import MLPPrior
+
+        prior = MLPPrior(
+            num_features=num_features, is_binary_classification=True,
+            is_causal=False,
+        )
+    else:
+        from pfn_tpu.priors.binarize import binarized_gp_prior
+
+        prior = binarized_gp_prior(num_features=num_features)
+
+    if args.quick:
+        cfg = TrainConfig(
+            emsize=64, nhid=128, nlayers=3, nhead=4, bptt=args.bptt,
+            batch_size=32, epochs=args.epochs or 20, steps_per_epoch=30,
+            lr=1e-3, warmup_epochs=4,
+        )
+    else:
+        # TabularEvalSimple.ipynb cells 9-10 scale.
+        cfg = TrainConfig(
+            emsize=512, nhid=1024, nlayers=6, nhead=4, bptt=args.bptt,
+            batch_size=256, epochs=args.epochs or 300, steps_per_epoch=100,
+            lr=1e-4, warmup_epochs=25,
+        )
+
+    from pfn_tpu.train.loop import build_model
+
+    criterion = bce_criterion()
+    if args.load:
+        import jax
+
+        from pfn_tpu.train.checkpoints import restore_checkpoint
+
+        model = build_model(prior, criterion, cfg)
+        template = model.init_params(jax.random.PRNGKey(0), seq_len=cfg.bptt)
+        params = restore_checkpoint(args.load, template)
+    else:
+        result = train(prior, criterion, cfg)
+        model, params = result.model, result.params
+        print(f"trained: final loss {result.final_loss:.4f}")
+        if args.checkpoint:
+            from pfn_tpu.train.checkpoints import save_checkpoint
+
+            save_checkpoint(args.checkpoint, params)
+
+    os.makedirs(args.out, exist_ok=True)
+    all_results = {}
+    pfn_res = tab.evaluate(
+        datasets, model, "pfn", args.bptt, args.eval_positions, params=params,
+        max_samples=args.max_samples, cache_dir=args.out,
+        num_features=num_features,
+    )
+    all_results["pfn"] = pfn_res["mean_metric"]
+    print(f"PFN mean AUC: {pfn_res['mean_metric']:.4f}")
+
+    metric_fns = {
+        "logistic": tab.logistic_metric,
+        "knn": tab.knn_metric,
+        "gp": tab.gp_metric,
+        "bayes_net": tab.bayes_net_metric,
+        "xgb": tab.xgb_metric,
+        "catboost": tab.catboost_metric,
+    }
+    for name in args.baselines:
+        try:
+            res = tab.evaluate(
+                datasets, metric_fns[name], name, args.bptt,
+                args.eval_positions, max_samples=args.max_samples,
+                cache_dir=args.out,
+            )
+            all_results[name] = res["mean_metric"]
+            print(f"{name} mean AUC: {res['mean_metric']:.4f}")
+        except Exception as e:  # e.g. xgboost not installed
+            print(f"{name}: skipped ({e})")
+
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(all_results, f, indent=2)
+    print(f"wrote {args.out}/summary.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,14 +25,19 @@ Design principles (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from pfn_tpu import distributions, models, ops, parallel, priors, train, utils
-from pfn_tpu import evals
+from pfn_tpu import bayesopt, config, data, evals, presentation, registries
 
 __all__ = [
+    "bayesopt",
+    "config",
+    "data",
     "distributions",
     "models",
     "ops",
     "parallel",
+    "presentation",
     "priors",
+    "registries",
     "train",
     "evals",
     "utils",

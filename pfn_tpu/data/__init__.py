@@ -1,5 +1,10 @@
-"""Real-data loaders (host-side) for the tabular benchmark."""
+"""Real-data loaders (host-side): tabular benchmark + Omniglot class banks."""
 
+from pfn_tpu.data.omniglot import (
+    ClassBank,
+    load_omniglot_class_bank,
+    synthetic_class_bank,
+)
 from pfn_tpu.data.datasets import (
     class_balance_interleave,
     get_breast_cancer,
@@ -16,6 +21,9 @@ from pfn_tpu.data.datasets import (
 )
 
 __all__ = [
+    "ClassBank",
+    "load_omniglot_class_bank",
+    "synthetic_class_bank",
     "class_balance_interleave",
     "get_breast_cancer",
     "get_2class_iris",

@@ -5,7 +5,11 @@ from pfn_tpu.evals.oracles import (
     ridge_evaluate,
     bayes_linreg_posterior,
 )
-from pfn_tpu.evals.harness import eval_positional_loss, pfn_predict
+from pfn_tpu.evals.harness import (
+    eval_positional_loss,
+    make_mean_mse_validator,
+    pfn_predict,
+)
 from pfn_tpu.evals import comparison, inference, tabular
 
 __all__ = [
@@ -13,6 +17,7 @@ __all__ = [
     "ridge_evaluate",
     "bayes_linreg_posterior",
     "eval_positional_loss",
+    "make_mean_mse_validator",
     "pfn_predict",
     "comparison",
     "inference",

@@ -61,3 +61,46 @@ def eval_positional_loss(
     if target_y is None:
         target_y = y
     return _positional_losses(model, params, criterion, x, y, target_y, positions)
+
+
+def make_mean_mse_validator(
+    prior,
+    criterion,
+    batch_size: int = 32,
+    seq_len: int = 50,
+    positions=None,
+    seed: int = 0,
+):
+    """Build a ``validate_fn(model, params) -> float`` for the train loop.
+
+    Parity: the gp-mix DataLoader.validate hook (reference
+    fast_gp_mix.py:139-153) — regenerate a fixed batch, sweep eval positions,
+    and score the MSE of the posterior-mean prediction against target_y over
+    the eval rows. Works for any prior + bar-style criterion (anything with
+    ``.mean(logits)``).
+    """
+    pos = jnp.asarray(
+        positions
+        if positions is not None
+        else jnp.arange(1, seq_len, max(1, seq_len // 10))
+    )
+
+    def validate_fn(model, params):
+        x, y, target_y = jax.jit(
+            lambda k: prior.sample(k, batch_size, seq_len)
+        )(jax.random.PRNGKey(seed))
+
+        @jax.jit
+        def sweep():
+            def one(sep):
+                logits = pfn_predict(model, params, x, y, sep)
+                mean = criterion.mean(logits)  # (B, T)
+                mask = jnp.arange(seq_len)[None, :] >= sep
+                se = (mean - target_y) ** 2
+                return jnp.sum(se * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+            return jax.lax.map(one, pos).mean()
+
+        return float(sweep())
+
+    return validate_fn

@@ -52,7 +52,10 @@ def build_windows(X: np.ndarray, y: np.ndarray, bptt: int, max_samples: int, see
     """All sliding length-bptt windows, then a seeded subsample of
     ``max_samples`` of them. Returns (windows_X (S, bptt, F), windows_y
     (S, bptt))."""
-    num = len(X) - bptt
+    # Inclusive of the exactly-fitting window so a len==bptt dataset yields
+    # one window (the reference's range(len-bptt) would yield zero,
+    # tabular.py:247-251 — a deliberate off-by-one fix).
+    num = len(X) - bptt + 1
     assert num > 0, f"dataset too short ({len(X)}) for bptt={bptt}"
     wx = np.stack([X[i : i + bptt] for i in range(num)])
     wy = np.stack([y[i : i + bptt] for i in range(num)])

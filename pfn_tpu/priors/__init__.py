@@ -13,7 +13,16 @@ unlike reference train.py:66-71).
 """
 
 from pfn_tpu.priors.base import Prior, make_dataloader
-from pfn_tpu.priors import gp, ridge, gp_mix, mlp, module, binarize
+from pfn_tpu.priors import (
+    gp,
+    ridge,
+    gp_mix,
+    mlp,
+    module,
+    binarize,
+    stroke,
+    omniglot,
+)
 
 __all__ = [
     "Prior",
@@ -24,4 +33,6 @@ __all__ = [
     "mlp",
     "module",
     "binarize",
+    "stroke",
+    "omniglot",
 ]

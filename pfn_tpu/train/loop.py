@@ -36,6 +36,7 @@ from flax import struct
 from pfn_tpu.models.transformer import PFNTransformer, TransformerConfig, num_params
 from pfn_tpu.parallel.mesh import batch_sharding, param_sharding, replicate
 from pfn_tpu.train.losses import Criterion
+from pfn_tpu.utils.profiling import StepTimers
 from pfn_tpu.utils.samplers import make_eval_pos_weights
 from pfn_tpu.utils.schedules import cosine_schedule_with_warmup, get_openai_lr
 
@@ -244,6 +245,7 @@ def train(
     )  # parity: reference train.py:65
 
     epoch_stats = []
+    timers = StepTimers()
     total_loss = float("inf")
     positional = [float("nan")] * cfg.bptt
     for epoch in range(1, cfg.epochs + 1):
@@ -251,10 +253,15 @@ def train(
         loss_acc = 0.0
         pos_loss_acc = jnp.zeros(cfg.bptt)
         pos_cnt_acc = jnp.zeros(cfg.bptt)
+        timers.reset()
         for _ in range(updates_per_epoch):
             key, sub = jax.random.split(key)
-            state, metrics = step_jit(state, sub)
-            loss_acc += float(metrics["loss"])
+            # One fused channel: prior sampling + fwd + bwd + update are a
+            # single XLA program here (the reference's three channels,
+            # train.py:63-108, collapse by design — see utils/profiling.py).
+            with timers.channel("fused_step"):
+                state, metrics = step_jit(state, sub)
+                loss_acc += float(metrics["loss"])  # forces completion
             pos_loss_acc = pos_loss_acc + metrics["pos_loss"]
             pos_cnt_acc = pos_cnt_acc + metrics["pos_cnt"]
         total_loss = loss_acc / updates_per_epoch
@@ -268,6 +275,7 @@ def train(
             "mean_loss": total_loss,
             "lr": lr_now,
             "epoch_time": time.time() - t0,
+            "step_time": timers.means().get("fused_step"),
             "val_score": val_score,
         }
         epoch_stats.append(stats)

@@ -10,8 +10,12 @@ from pfn_tpu.utils.samplers import (
     uniform_single_eval_pos,
     make_eval_pos_weights,
 )
+from pfn_tpu.utils.profiling import StepTimers, debug_nans, trace
 
 __all__ = [
+    "StepTimers",
+    "debug_nans",
+    "trace",
     "cosine_schedule_with_warmup",
     "linear_schedule_with_warmup",
     "get_openai_lr",
