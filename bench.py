@@ -31,13 +31,19 @@ GP_HP = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 
-def measure_pfn_tpu(steps: int = 20, warmup: int = 3) -> float:
+def measure_pfn_tpu(steps: int = 20, warmup: int = 3, updates_per_call: int = 10) -> float:
     import jax
     import jax.numpy as jnp
     from pfn_tpu.distributions import get_bucket_limits
     from pfn_tpu.priors.gp import GPPrior
     from pfn_tpu.train import TrainConfig, bar_criterion
-    from pfn_tpu.train.loop import TrainState, _make_optimizer, build_model, make_train_step
+    from pfn_tpu.train.loop import (
+        TrainState,
+        _make_optimizer,
+        build_model,
+        make_train_chunk,
+        make_train_step,
+    )
     from pfn_tpu.models.transformer import num_params
 
     prior = GPPrior(num_features=1, **GP_HP)
@@ -59,7 +65,10 @@ def measure_pfn_tpu(steps: int = 20, warmup: int = 3) -> float:
     params = model.init_params(jax.random.PRNGKey(0), seq_len=BPTT)
     tx, _, _ = _make_optimizer(cfg, num_params(params))
     state = TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
-    step_fn = jax.jit(make_train_step(model, prior, crit, cfg, tx), donate_argnums=0)
+    # Scan updates_per_call full train steps per dispatch: removes the
+    # host->device round-trip from the hot loop (pfn_tpu.train.loop).
+    chunk = make_train_chunk(make_train_step(model, prior, crit, cfg, tx), updates_per_call)
+    step_fn = jax.jit(chunk, donate_argnums=0)
 
     key = jax.random.PRNGKey(1)
     for i in range(warmup):
@@ -73,7 +82,7 @@ def measure_pfn_tpu(steps: int = 20, warmup: int = 3) -> float:
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
     assert bool(jnp.isfinite(metrics["loss"])), "non-finite loss in bench"
-    return steps / dt
+    return steps * updates_per_call / dt
 
 
 def measure_torch_baseline(steps: int = 3, warmup: int = 1) -> float:

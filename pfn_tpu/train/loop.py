@@ -61,6 +61,10 @@ class TrainConfig:
     eval_pos_sampler: str = "uniform"  # 'uniform' | 'weighted' | 'fixed'
     eval_pos_max: int | None = None  # cap (<= bptt); parity: permutation_invariant_max_eval_pos
     fixed_eval_pos: int | None = None
+    # Optimizer updates executed inside ONE jitted call (lax.scan over full
+    # train steps). >1 amortizes host->device dispatch latency — the dominant
+    # cost for small models; keep 1 when per-step host callbacks are needed.
+    updates_per_call: int = 1
     validation_period: int = 10
     seed: int = 0
     verbose: bool = True
@@ -209,6 +213,33 @@ def make_train_step(model, prior, criterion: Criterion, cfg: TrainConfig, tx, me
     return train_step
 
 
+def make_train_chunk(train_step, updates_per_call: int):
+    """Scan ``updates_per_call`` full train steps inside one jitted call.
+
+    TPU-first: one dispatch per chunk instead of one per update removes the
+    host->device round-trip from the hot loop entirely (there is no
+    reference analog — the torch loop pays a Python iteration per batch,
+    train.py:66). Metrics are summed over the chunk.
+    """
+
+    def chunk(state: TrainState, key):
+        def body(st, sub):
+            st, metrics = train_step(st, sub)
+            return st, metrics
+
+        keys = jax.random.split(key, updates_per_call)
+        state, metrics = jax.lax.scan(body, state, keys)
+        summed = {
+            "loss": metrics["loss"].sum(),
+            "pos_loss": metrics["pos_loss"].sum(0),
+            "pos_cnt": metrics["pos_cnt"].sum(0),
+            "grad_norm": metrics["grad_norm"].mean(),
+        }
+        return state, summed
+
+    return chunk
+
+
 def train(
     prior,
     criterion: Criterion,
@@ -237,12 +268,18 @@ def train(
         params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
     )
     step_fn = make_train_step(model, prior, criterion, cfg, tx, mesh=mesh)
+    upc = max(1, cfg.updates_per_call)
+    if upc > 1:
+        step_fn = make_train_chunk(step_fn, upc)
     step_jit = jax.jit(step_fn, donate_argnums=0)
 
     updates_per_epoch = max(1, cfg.steps_per_epoch // cfg.aggregate_k_gradients)
     assert cfg.steps_per_epoch % cfg.aggregate_k_gradients == 0, (
         "steps_per_epoch must be divisible by aggregate_k_gradients"
     )  # parity: reference train.py:65
+    assert updates_per_epoch % upc == 0, (
+        "updates per epoch must be divisible by updates_per_call"
+    )
 
     epoch_stats = []
     timers = StepTimers()
@@ -254,11 +291,12 @@ def train(
         pos_loss_acc = jnp.zeros(cfg.bptt)
         pos_cnt_acc = jnp.zeros(cfg.bptt)
         timers.reset()
-        for _ in range(updates_per_epoch):
+        for _ in range(updates_per_epoch // upc):
             key, sub = jax.random.split(key)
             # One fused channel: prior sampling + fwd + bwd + update are a
             # single XLA program here (the reference's three channels,
             # train.py:63-108, collapse by design — see utils/profiling.py).
+            # With updates_per_call > 1 the call covers a whole scanned chunk.
             with timers.channel("fused_step"):
                 state, metrics = step_jit(state, sub)
                 loss_acc += float(metrics["loss"])  # forces completion
@@ -275,7 +313,7 @@ def train(
             "mean_loss": total_loss,
             "lr": lr_now,
             "epoch_time": time.time() - t0,
-            "step_time": timers.means().get("fused_step"),
+            "step_time": (timers.means().get("fused_step") or 0.0) / upc,
             "val_score": val_score,
         }
         epoch_stats.append(stats)
