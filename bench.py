@@ -74,14 +74,18 @@ def measure_pfn_tpu(steps: int = 20, warmup: int = 3, updates_per_call: int = 10
     for i in range(warmup):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, sub)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # materialize: block_until_ready can no-op on
+    # tunneled platforms, so force a real device->host sync
     t0 = time.perf_counter()
     for i in range(steps):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, sub)
-    jax.block_until_ready(metrics["loss"])
+    last = float(metrics["loss"])  # sync inside the timed region; the state
+    # chain (donated arg) makes every step a dependency of this value
     dt = time.perf_counter() - t0
-    assert bool(jnp.isfinite(metrics["loss"])), "non-finite loss in bench"
+    import math
+
+    assert math.isfinite(last), "non-finite loss in bench"
     return steps * updates_per_call / dt
 
 

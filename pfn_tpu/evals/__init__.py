@@ -10,7 +10,7 @@ from pfn_tpu.evals.harness import (
     make_mean_mse_validator,
     pfn_predict,
 )
-from pfn_tpu.evals import comparison, inference, tabular
+from pfn_tpu.evals import comparison, gp_mix_oracles, inference, tabular
 
 __all__ = [
     "gp_exact_evaluate",
@@ -20,6 +20,7 @@ __all__ = [
     "make_mean_mse_validator",
     "pfn_predict",
     "comparison",
+    "gp_mix_oracles",
     "inference",
     "tabular",
 ]

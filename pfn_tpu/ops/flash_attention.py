@@ -31,18 +31,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 128
+BLOCK = 128  # default tile; _choose_block may pick larger for big B*H
 _NEG_INF = -1e30
 
 
-def _block_mask(qi, kj, sep, valid_len):
-    """(BLOCK, BLOCK) bool: key allowed for query, in global coordinates."""
-    qs = qi * BLOCK + jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
-    ks = kj * BLOCK + jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+def _choose_block(batch_heads: int) -> int:
+    """Tile size heuristic (measured on v5e, T=2010, D=128, fwd+bwd):
+    128x128 tiles win at small batch*heads (more grid parallelism), 256x256
+    at large (amortizes per-block overhead: 34->19 ms at B*H=128)."""
+    return 256 if batch_heads >= 64 else BLOCK
+
+
+def _block_mask(block, qi, kj, sep, valid_len):
+    """(block, block) bool: key allowed for query, in global coordinates."""
+    qs = qi * block + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    ks = kj * block + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
     return ((ks < sep) | (ks == qs)) & (ks < valid_len)
 
 
-def _fwd_kernel(sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i):
+def _fwd_kernel(block, sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i):
     qi, kj = pl.program_id(1), pl.program_id(2)
     nk = pl.num_programs(2)
     sep = sep_ref[0]
@@ -55,16 +62,18 @@ def _fwd_kernel(sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i,
         l_i[:] = jnp.zeros_like(l_i)
 
     # Skip blocks with no allowed columns: past sep and not the diagonal.
-    block_needed = (kj * BLOCK < sep) | (kj == qi)
+    block_needed = (kj * block < sep) | (kj == qi)
 
     @pl.when(block_needed)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # Dots run in the INPUT dtype (bf16 on TPU -> full-rate MXU) with f32
+        # accumulation via preferred_element_type; only softmax state is f32.
+        q = q_ref[0]
+        k = k_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK) — scale applied by caller on q
-        s = jnp.where(_block_mask(qi, kj, sep, valid_len), s, _NEG_INF)
+        s = jnp.where(_block_mask(block, qi, kj, sep, valid_len), s, _NEG_INF)
 
         m_prev = m_i[:]
         l_prev = l_i[:]
@@ -73,9 +82,9 @@ def _fwd_kernel(sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i,
         p = jnp.exp(s - m_cur)
         l_i[:] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_i[:] = m_cur
-        v = v_ref[0].astype(jnp.float32)
+        v = v_ref[0]
         acc[:] = acc[:] * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
     @pl.when(kj == nk - 1)
@@ -86,7 +95,7 @@ def _fwd_kernel(sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i,
 
 
 def _bwd_dq_kernel(
-    sep_ref, len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc
+    block, sep_ref, len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc
 ):
     qi, kj = pl.program_id(1), pl.program_id(2)
     nk = pl.num_programs(2)
@@ -97,27 +106,27 @@ def _bwd_dq_kernel(
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    block_needed = (kj * BLOCK < sep) | (kj == qi)
+    block_needed = (kj * block < sep) | (kj == qi)
 
     @pl.when(block_needed)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0]
         delta = delta_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = jnp.where(_block_mask(qi, kj, sep, valid_len), s, _NEG_INF)
+        s = jnp.where(_block_mask(block, qi, kj, sep, valid_len), s, _NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
         dq_acc[:] = dq_acc[:] + jax.lax.dot(
-            ds, k, preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
     @pl.when(kj == nk - 1)
@@ -126,7 +135,7 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    sep_ref, len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    block, sep_ref, len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_acc, dv_acc
 ):
     # Grid: (BH, nKV, nQ) — iterate query blocks for a fixed kv block.
@@ -140,30 +149,32 @@ def _bwd_dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    block_needed = (kj * BLOCK < sep) | (kj == qi)
+    block_needed = (kj * block < sep) | (kj == qi)
 
     @pl.when(block_needed)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0]
         delta = delta_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = jnp.where(_block_mask(qi, kj, sep, valid_len), s, _NEG_INF)
+        s = jnp.where(_block_mask(block, qi, kj, sep, valid_len), s, _NEG_INF)
         p = jnp.exp(s - lse)  # (BQ, BK)
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
         dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(qi == nq - 1)
@@ -179,42 +190,57 @@ def _pad(x, tp):
     return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
 
+def _kv_select(block, qi, kj, sep_ref):
+    """KV-block index with DMA elision: blocks the kernel will skip
+    (past sep and off-diagonal) are remapped to the diagonal block, which the
+    pipeline has already fetched — consecutive equal indices elide the copy.
+    The pl.when(block_needed) guard makes the stale data unobservable."""
+    needed = (kj * block < sep_ref[0]) | (kj == qi)
+    return jnp.where(needed, kj, qi)
+
+
 def _fwd_impl(q, k, v, sep, valid_len):
     """q,k,v: (BH, Tp, D) already padded & scaled. Returns (o, lse)."""
     BH, Tp, D = q.shape
-    nblocks = Tp // BLOCK
+    block = _choose_block(BH)
+    assert Tp % block == 0, (Tp, block)
+    nblocks = Tp // block
     grid = (BH, nblocks, nblocks)
     sep = jnp.asarray(sep, jnp.int32).reshape(1)
     valid_len = jnp.asarray(valid_len, jnp.int32).reshape(1)
 
     kv_spec = pl.BlockSpec(
-        (1, BLOCK, D), lambda b, qi, kj, *_: (b, kj, 0), memory_space=pltpu.VMEM
+        (1, block, D),
+        lambda b, qi, kj, sep_ref, len_ref: (
+            b, _kv_select(block, qi, kj, sep_ref), 0
+        ),
+        memory_space=pltpu.VMEM,
     )
     q_spec = pl.BlockSpec(
-        (1, BLOCK, D), lambda b, qi, kj, *_: (b, qi, 0), memory_space=pltpu.VMEM
+        (1, block, D), lambda b, qi, kj, *_: (b, qi, 0), memory_space=pltpu.VMEM
     )
     o, lse = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=[
                 pl.BlockSpec(
-                    (1, BLOCK, D),
+                    (1, block, D),
                     lambda b, qi, kj, *_: (b, qi, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, BLOCK, 1),
+                    (1, block, 1),
                     lambda b, qi, kj, *_: (b, qi, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             scratch_shapes=[
-                pltpu.VMEM((BLOCK, D), jnp.float32),
-                pltpu.VMEM((BLOCK, 1), jnp.float32),
-                pltpu.VMEM((BLOCK, 1), jnp.float32),
+                pltpu.VMEM((block, D), jnp.float32),
+                pltpu.VMEM((block, 1), jnp.float32),
+                pltpu.VMEM((block, 1), jnp.float32),
             ],
         ),
         out_shape=[
@@ -239,40 +265,50 @@ def _flash_fwd(q, k, v, sep, valid_len):
 def _flash_bwd(res, do):
     q, k, v, o, lse, sep, valid_len = res
     BH, Tp, D = q.shape
-    nblocks = Tp // BLOCK
+    block = _choose_block(BH)
+    nblocks = Tp // block
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
     sep_arr = jnp.asarray(sep, jnp.int32).reshape(1)
     len_arr = jnp.asarray(valid_len, jnp.int32).reshape(1)
 
     def spec3(index_map):
-        return pl.BlockSpec((1, BLOCK, D), index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, block, D), index_map, memory_space=pltpu.VMEM)
 
     def spec2(index_map):
-        return pl.BlockSpec((1, BLOCK, 1), index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, block, 1), index_map, memory_space=pltpu.VMEM)
 
     by_q = lambda b, i, j, *_: (b, i, 0)
-    by_k = lambda b, i, j, *_: (b, j, 0)
+    by_k = lambda b, i, j, sep_ref, len_ref: (
+        b, _kv_select(block, i, j, sep_ref), 0
+    )
     by_q2 = lambda b, i, j, *_: (b, i, 0)
     # dq: grid (BH, nQ, nKV)
     dq = pl.pallas_call(
-        _bwd_dq_kernel,
+        functools.partial(_bwd_dq_kernel, block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(BH, nblocks, nblocks),
             in_specs=[spec3(by_q), spec3(by_k), spec3(by_k), spec3(by_q),
                       spec2(by_q2), spec2(by_q2)],
             out_specs=spec3(by_q),
-            scratch_shapes=[pltpu.VMEM((BLOCK, D), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((block, D), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((BH, Tp, D), q.dtype),
     )(sep_arr, len_arr, q, k, v, do, lse, delta)
 
-    # dk/dv: grid (BH, nKV, nQ) — program_id(1) is the kv block.
+    # dk/dv: grid (BH, nKV, nQ) — program_id(1) is the kv block. Here the
+    # q-side blocks are the streamed operand: remap q-blocks the kernel will
+    # skip to the diagonal (same DMA-elision trick as _kv_select, roles
+    # swapped).
+    def _q_select(j, i, sep_ref):
+        needed = (j * block < sep_ref[0]) | (j == i)
+        return jnp.where(needed, i, j)
+
     by_kv_outer = lambda b, j, i, *_: (b, j, 0)
-    by_q_inner = lambda b, j, i, *_: (b, i, 0)
-    by_q2_inner = lambda b, j, i, *_: (b, i, 0)
+    by_q_inner = lambda b, j, i, sep_ref, len_ref: (b, _q_select(j, i, sep_ref), 0)
+    by_q2_inner = lambda b, j, i, sep_ref, len_ref: (b, _q_select(j, i, sep_ref), 0)
     dk, dv = pl.pallas_call(
-        _bwd_dkv_kernel,
+        functools.partial(_bwd_dkv_kernel, block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(BH, nblocks, nblocks),
@@ -280,8 +316,8 @@ def _flash_bwd(res, do):
                       spec3(by_q_inner), spec2(by_q2_inner), spec2(by_q2_inner)],
             out_specs=[spec3(by_kv_outer), spec3(by_kv_outer)],
             scratch_shapes=[
-                pltpu.VMEM((BLOCK, D), jnp.float32),
-                pltpu.VMEM((BLOCK, D), jnp.float32),
+                pltpu.VMEM((block, D), jnp.float32),
+                pltpu.VMEM((block, D), jnp.float32),
             ],
         ),
         out_shape=[
@@ -314,7 +350,8 @@ def pfn_flash_attention(q, k, v, single_eval_pos, scale=None):
     """
     B, H, T, D = q.shape
     scale = scale if scale is not None else 1.0 / (D**0.5)
-    Tp = ((T + BLOCK - 1) // BLOCK) * BLOCK
+    block = _choose_block(B * H)
+    Tp = ((T + block - 1) // block) * block
     qf = _pad((q * scale).reshape(B * H, T, D), Tp)
     kf = _pad(k.reshape(B * H, T, D), Tp)
     vf = _pad(v.reshape(B * H, T, D), Tp)

@@ -53,6 +53,26 @@ def restore_checkpoint(path: str, template: Any | None = None) -> Any:
         return ckptr.restore(path)
 
 
+def latest_state_checkpoint(checkpoint_dir: str):
+    """Find the newest ``epoch_N`` checkpoint under ``checkpoint_dir``.
+
+    Returns (path, epoch) or None. Used by the train loop's automatic
+    resume (TrainConfig.checkpoint_dir / checkpoint_every).
+    """
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    best = None
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("epoch_"):
+            try:
+                epoch = int(name.split("_", 1)[1])
+            except ValueError:
+                continue
+            if best is None or epoch > best[1]:
+                best = (os.path.join(checkpoint_dir, name), epoch)
+    return best
+
+
 # ---------------------------------------------------------------------------
 # torch <-> flax conversion
 # ---------------------------------------------------------------------------

@@ -65,6 +65,12 @@ class TrainConfig:
     # train steps). >1 amortizes host->device dispatch latency — the dominant
     # cost for small models; keep 1 when per-step host callbacks are needed.
     updates_per_call: int = 1
+    # Full-state checkpoint/resume (params, opt_state, step, PRNG key, epoch)
+    # every checkpoint_every epochs into checkpoint_dir; training resumes from
+    # the newest checkpoint automatically. The reference only ever saved bare
+    # state_dicts by hand in notebooks (SURVEY.md §5 "Checkpoint / resume").
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 0
     validation_period: int = 10
     seed: int = 0
     verbose: bool = True
@@ -281,11 +287,32 @@ def train(
         "updates per epoch must be divisible by updates_per_call"
     )
 
+    start_epoch = 1
+    if cfg.checkpoint_dir:
+        from pfn_tpu.train.checkpoints import (
+            latest_state_checkpoint,
+            restore_checkpoint,
+        )
+
+        latest = latest_state_checkpoint(cfg.checkpoint_dir)
+        if latest is not None:
+            path, ckpt_epoch = latest
+            template = {
+                "state": jax.device_get(state),
+                "key": jax.device_get(key),
+            }
+            restored = restore_checkpoint(path, template)
+            state = restored["state"]
+            key = jnp.asarray(restored["key"])
+            start_epoch = ckpt_epoch + 1
+            if cfg.verbose:
+                print(f"resumed from {path} (epoch {ckpt_epoch})")
+
     epoch_stats = []
     timers = StepTimers()
     total_loss = float("inf")
     positional = [float("nan")] * cfg.bptt
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         t0 = time.time()
         loss_acc = 0.0
         pos_loss_acc = jnp.zeros(cfg.bptt)
@@ -317,6 +344,17 @@ def train(
             "val_score": val_score,
         }
         epoch_stats.append(stats)
+        if (
+            cfg.checkpoint_dir
+            and cfg.checkpoint_every > 0
+            and epoch % cfg.checkpoint_every == 0
+        ):
+            from pfn_tpu.train.checkpoints import save_checkpoint
+
+            save_checkpoint(
+                f"{cfg.checkpoint_dir}/epoch_{epoch}",
+                {"state": state, "key": key},
+            )
         if cfg.verbose:
             print(
                 f"| epoch {epoch:3d} | time {stats['epoch_time']:5.2f}s "

@@ -74,3 +74,17 @@ def test_flash_bf16_close_to_f32_dense():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=0.05, rtol=0.05
     )
+
+
+def test_flash_large_batch_heads_uses_256_block():
+    """B*H >= 64 selects the 256-wide tile (_choose_block); equivalence must
+    hold across the block-size switch."""
+    from pfn_tpu.ops.flash_attention import _choose_block
+
+    assert _choose_block(16) == 128 and _choose_block(64) == 256
+    q, k, v = make_qkv(jax.random.PRNGKey(2), B=16, H=4, T=260, D=128)
+    sep = 130
+    ref = pfn_attention_reference(q, k, v, sep)
+    with pltpu.force_tpu_interpret_mode():
+        out = pfn_flash_attention(q, k, v, jnp.asarray(sep))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
