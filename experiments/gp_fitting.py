@@ -58,7 +58,7 @@ def main():
             emsize=128, nhid=256, nlayers=4, nhead=4, bptt=bptt,
             batch_size=64, epochs=args.epochs or 40, steps_per_epoch=60,
             lr=args.lr or 1e-3, warmup_epochs=5,
-            eval_pos_sampler="weighted",
+            eval_pos_sampler="weighted", updates_per_call=10,
         )
         num_buckets = args.num_buckets or 200
     else:
