@@ -38,11 +38,24 @@ class ClassBank:
     def num_classes(self) -> int:
         return self.images.shape[0]
 
-    def split(self, num_train_classes: int = 1200):
+    def split(self, num_train_classes: int = 1200, test_start: int | None = None):
         """Train/test split by class index (omniglotNshot.py:136: train =
-        first ``num_train_classes`` classes, test = classes 1200+)."""
-        train = ClassBank(self.images[:num_train_classes], self.alphabet_ids[:num_train_classes])
-        test = ClassBank(self.images[1200:], self.alphabet_ids[1200:])
+        first ``num_train_classes`` classes, test = classes 1200+ on the
+        full 1623-class bank). ``test_start`` defaults to the reference's
+        1200 when the bank is big enough, else to ``num_train_classes`` so
+        smaller (synthetic) banks still get a disjoint, non-empty test
+        split."""
+        if test_start is None:
+            test_start = 1200 if self.num_classes > 1200 else num_train_classes
+        assert test_start >= num_train_classes, (
+            f"test classes [{test_start}:] would overlap train "
+            f"[:{num_train_classes}]"
+        )
+        assert test_start < self.num_classes, "empty test split"
+        train = ClassBank(
+            self.images[:num_train_classes], self.alphabet_ids[:num_train_classes]
+        )
+        test = ClassBank(self.images[test_start:], self.alphabet_ids[test_start:])
         return train, test
 
 

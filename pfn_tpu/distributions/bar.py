@@ -249,6 +249,24 @@ class FullSupportBarDistribution(BarDistribution):
         p = jax.nn.softmax(logits, axis=-1)
         return p @ means
 
+    def sample(self, key: jax.Array, logits: jax.Array) -> jax.Array:
+        """Posterior draw honoring the half-normal tails: edge-bucket
+        samples come from the tail distribution (the base class would
+        truncate them to the bucket's finite width, biasing e.g. Thompson
+        sampling away from extreme y)."""
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.categorical(k1, logits, axis=-1)
+        u = jax.random.uniform(k2, idx.shape, minval=1e-7, maxval=1.0)
+        inner = jnp.take(self.borders, idx) + u * jnp.take(
+            self.bucket_widths, idx
+        )
+        # Half-normal inverse CDF: |z| = scale * sqrt(2) * erfinv(u).
+        s0, s1 = self._tail_scales()
+        dist0 = s0 * jnp.sqrt(2.0) * jax.scipy.special.erfinv(u)
+        dist1 = s1 * jnp.sqrt(2.0) * jax.scipy.special.erfinv(u)
+        out = jnp.where(idx == 0, self.borders[1] - dist0, inner)
+        return jnp.where(idx == self.num_bars - 1, self.borders[-2] + dist1, out)
+
 
 def get_bucket_limits(
     num_outputs: int,

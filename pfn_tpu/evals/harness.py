@@ -84,14 +84,14 @@ def make_mean_mse_validator(
         if positions is not None
         else jnp.arange(1, seq_len, max(1, seq_len // 10))
     )
+    # Jitted once per validator — validate_fn must reuse these function
+    # objects or every validation epoch recompiles the whole sweep.
+    sample_jit = jax.jit(lambda k: prior.sample(k, batch_size, seq_len))
 
-    def validate_fn(model, params):
-        x, y, target_y = jax.jit(
-            lambda k: prior.sample(k, batch_size, seq_len)
-        )(jax.random.PRNGKey(seed))
-
-        @jax.jit
-        def sweep():
+    @functools.lru_cache(maxsize=None)
+    def _sweep_for(model):
+        @functools.partial(jax.jit, donate_argnums=())
+        def sweep(params, x, y, target_y):
             def one(sep):
                 logits = pfn_predict(model, params, x, y, sep)
                 mean = criterion.mean(logits)  # (B, T)
@@ -101,6 +101,10 @@ def make_mean_mse_validator(
 
             return jax.lax.map(one, pos).mean()
 
-        return float(sweep())
+        return sweep
+
+    def validate_fn(model, params):
+        x, y, target_y = sample_jit(jax.random.PRNGKey(seed))
+        return float(_sweep_for(model)(params, x, y, target_y))
 
     return validate_fn

@@ -208,7 +208,9 @@ def svgd(
         med2 = jnp.median(d2)
         h = jnp.sqrt(0.5 * med2 / jnp.log(n + 1.0)) + 1e-8
         K = jnp.exp(-d2 / (2 * h**2))
-        # grad_{x_j} k(x_j, x_i) summed appropriately:
+        # dK[i, j] = (x_i - x_j)/h^2 * K[i, j] == grad_{x_j} k(x_j, x_i);
+        # the repulsion term is sum_j dK[i, j] (axis=1 — axis=0 flips the
+        # sign and collapses particles onto the mode).
         dK = (x[:, None, :] - x[None, :, :]) / (h**2) * K[..., None]
         return K, dK
 
@@ -216,7 +218,7 @@ def svgd(
     def step(x, _):
         K, dK = kernel_and_grad(x)
         glp = grad_lp(x)
-        phi = (K @ glp + jnp.sum(dK, axis=0)) / x.shape[0]
+        phi = (K @ glp + jnp.sum(dK, axis=1)) / x.shape[0]
         return x + lr * phi, None
 
     x, _ = jax.lax.scan(step, init_particles, None, length=num_steps)

@@ -80,12 +80,17 @@ def evaluate_position_pfn(
 ):
     """ROC-AUC of the PFN at a single eval_position over subsampled windows.
 
-    Windows are z-scored per window (tabular.py:293-296), optionally
-    feature-rescaled and zero-padded to the model's num_features
-    (tabular.py:182-184). Returns (per_window_auc, outputs, ys)."""
+    Windows are z-scored by CONTEXT-prefix stats — the same preprocessing
+    batch_pred applies to the baselines, so the benchmark compares models,
+    not normalizations. (Deviation note: the reference normalizes the PFN's
+    input by context+current-query stats, tabular.py:293-296, while its
+    baselines use context-only, :314-317 — one inconsistent row; we use
+    context-only for both.) Features are optionally rescaled and zero-padded
+    to the model's num_features (tabular.py:182-184). Returns
+    (per_window_auc, outputs, ys)."""
     wx, wy = build_windows(X, y, bptt, max_samples)
-    mean = wx.mean(axis=1, keepdims=True)
-    std = wx.std(axis=1, keepdims=True) + 1e-6
+    mean = wx[:, :eval_position].mean(axis=1, keepdims=True)
+    std = wx[:, :eval_position].std(axis=1, keepdims=True) + 1e-6
     wx = (wx - mean) / std
     wx = wx / rescale_features
     if num_features is not None and wx.shape[-1] < num_features:
@@ -336,9 +341,12 @@ def evaluate(
     dataset list; per-dataset .npy caching like the reference (:168-179).
     Returns a dict with per-dataset and mean metrics."""
     result = {"metric": "auc"}
+    # Cache key covers everything that changes the numbers (the reference
+    # keys only on method+dataset, tabular.py:168-179 — stale-hit hazard).
+    spec = f"bptt{bptt}_pos{'-'.join(map(str, eval_positions))}_n{max_samples}"
     for name, X, y, cat_feats in datasets:
         cache_path = (
-            os.path.join(cache_dir, f"results_{method}_{name}.npy")
+            os.path.join(cache_dir, f"results_{method}_{name}_{spec}.npy")
             if cache_dir
             else None
         )

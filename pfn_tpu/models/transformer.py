@@ -135,16 +135,27 @@ class PFNEncoderLayer(nn.Module):
 
 
 class SeqBN(nn.Module):
-    """BatchNorm over the flattened (B*T, D) sequence (reference
-    utils.py:76-86), optional input normalization (transformer.py:24)."""
+    """Normalization over the flattened (B*T, D) sequence with learned
+    affine (reference utils.py:76-86; optional input normalization,
+    transformer.py:24).
+
+    Deviation from torch BatchNorm1d: stats are ALWAYS the current batch's
+    (no running averages). Running stats would need a mutable flax
+    collection threaded through the jitted train step, and — worse — would
+    be silently gradient-updated by the optimizer if stored in params. PFN
+    batches are thousands of i.i.d. samples, so batch stats are already
+    tight estimates at train AND eval time.
+    """
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         B, T, D = x.shape
         flat = x.reshape(B * T, D)
-        flat = nn.BatchNorm(
-            use_running_average=deterministic, momentum=0.9, name="bn"
-        )(flat)
+        mean = jnp.mean(flat, axis=0)
+        var = jnp.var(flat, axis=0)
+        scale = self.param("scale", nn.initializers.ones, (D,))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        flat = (flat - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
         return flat.reshape(B, T, D)
 
 

@@ -89,6 +89,17 @@ void* bc_open(const char* path) {
   }
   r->meta.assign(reinterpret_cast<const char*>(r->map + sizeof(Header)),
                  r->hdr.metalen);
+  // Strip alignment padding NULs from the JSON payload.
+  while (!r->meta.empty() && r->meta.back() == '\0') r->meta.pop_back();
+  // Refuse truncated files: every declared record must be inside the map.
+  size_t need = sizeof(Header) + r->hdr.metalen +
+                r->hdr.nrec * r->hdr.recf * sizeof(float);
+  if (need > r->map_size) {
+    munmap(map, st.st_size);
+    ::close(fd);
+    delete r;
+    return nullptr;
+  }
   r->records = reinterpret_cast<const float*>(r->map + sizeof(Header) +
                                               r->hdr.metalen);
   // Sequential read-ahead hint for training-order scans.
@@ -140,9 +151,13 @@ void* bcw_create(const char* path, int64_t record_floats, const char* meta) {
   hdr.version = kVersion;
   hdr.nrec = 0;  // patched in bcw_finish
   hdr.recf = record_floats;
-  hdr.metalen = std::strlen(meta);
+  // Pad metadata so the records start float-aligned (zero-copy numpy views
+  // point straight into the mapping).
+  uint64_t raw_len = std::strlen(meta);
+  hdr.metalen = (raw_len + alignof(float) - 1) / alignof(float) * alignof(float);
   std::fwrite(&hdr, sizeof(Header), 1, f);
-  std::fwrite(meta, 1, hdr.metalen, f);
+  std::fwrite(meta, 1, raw_len, f);
+  for (uint64_t i = raw_len; i < hdr.metalen; ++i) std::fputc('\0', f);
   return w;
 }
 

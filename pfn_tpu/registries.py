@@ -164,9 +164,18 @@ def _register_builtins():
         "paired_scrambled_learned", PairedScrambledPositionalEncodings
     )
 
-    # ---- eval-pos samplers (reference train.py:271-280, utils.py:59-73) ----
-    EVAL_POS_SAMPLERS.register("uniform", "uniform")
-    EVAL_POS_SAMPLERS.register("weighted", "weighted")
+    # ---- eval-pos samplers (reference train.py:271-280, utils.py:59-73).
+    # Entries are weight functions ``max_len -> unnormalized weights``; the
+    # train loop resolves TrainConfig.eval_pos_sampler through this table,
+    # so registering a custom entry changes training. ----------------------
+    from pfn_tpu.utils.samplers import make_eval_pos_weights
+
+    EVAL_POS_SAMPLERS.register(
+        "uniform", lambda max_len: make_eval_pos_weights(max_len, "uniform")
+    )
+    EVAL_POS_SAMPLERS.register(
+        "weighted", lambda max_len: make_eval_pos_weights(max_len, "weighted")
+    )
 
 
 _register_builtins()

@@ -37,7 +37,6 @@ from pfn_tpu.models.transformer import PFNTransformer, TransformerConfig, num_pa
 from pfn_tpu.parallel.mesh import batch_sharding, param_sharding, replicate
 from pfn_tpu.train.losses import Criterion
 from pfn_tpu.utils.profiling import StepTimers
-from pfn_tpu.utils.samplers import make_eval_pos_weights
 from pfn_tpu.utils.schedules import cosine_schedule_with_warmup, get_openai_lr
 
 
@@ -140,8 +139,12 @@ def _make_optimizer(cfg: TrainConfig, param_count: int):
 def _sample_eval_pos(key, cfg: TrainConfig):
     if cfg.eval_pos_sampler == "fixed":
         return jnp.asarray(cfg.fixed_eval_pos, jnp.int32)
+    # Resolve through the registry so user-registered samplers take effect
+    # (built-ins come from pfn_tpu.utils.samplers.make_eval_pos_weights).
+    from pfn_tpu.registries import EVAL_POS_SAMPLERS
+
     max_len = cfg.eval_pos_max or cfg.bptt
-    logits = jnp.log(make_eval_pos_weights(max_len, cfg.eval_pos_sampler))
+    logits = jnp.log(EVAL_POS_SAMPLERS.get(cfg.eval_pos_sampler)(max_len))
     return jax.random.categorical(key, logits).astype(jnp.int32)
 
 
@@ -302,7 +305,10 @@ def train(
                 "key": jax.device_get(key),
             }
             restored = restore_checkpoint(path, template)
-            state = restored["state"]
+            # Re-apply the pre-restore placement (param/opt-state tensor
+            # sharding under a tp mesh) — restore yields host arrays.
+            shardings = jax.tree.map(lambda a: a.sharding, state)
+            state = jax.device_put(restored["state"], shardings)
             key = jnp.asarray(restored["key"])
             start_epoch = ckpt_epoch + 1
             if cfg.verbose:

@@ -79,6 +79,9 @@ def test_svgd_gaussian_moments():
     particles = svgd(log_prob, init, jax.random.PRNGKey(1), num_steps=1500, lr=0.3)
     p = np.asarray(particles)
     np.testing.assert_allclose(p.mean(axis=0), 2.0, atol=0.3)
+    # The repulsion term must keep posterior spread ~1 (a sign error in the
+    # kernel-gradient sum collapses particles to std ~0.2).
+    np.testing.assert_allclose(p.std(axis=0), 1.0, atol=0.35)
 
 
 def test_bnn_classifier_learns_separable_data():

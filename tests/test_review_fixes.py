@@ -1,0 +1,143 @@
+"""Regression tests for self-review findings (round 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_seqbn_with_dropout_trains():
+    """input_normalization + dropout used to crash on the immutable
+    batch_stats collection; SeqBN is now stateless batch-stat normalization."""
+    from pfn_tpu.priors.ridge import RidgePrior
+    from pfn_tpu.train import TrainConfig, mse_criterion, train
+
+    cfg = TrainConfig(
+        emsize=16, nhid=32, nlayers=1, nhead=2, epochs=1, steps_per_epoch=2,
+        batch_size=4, bptt=8, lr=1e-3, warmup_epochs=1, verbose=False,
+        input_normalization=True, dropout=0.1,
+    )
+    res = train(RidgePrior(num_features=2), mse_criterion(), cfg)
+    assert jnp.isfinite(res.final_loss)
+
+
+def test_seqbn_normalizes_current_batch():
+    from pfn_tpu.models.transformer import SeqBN
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 10, 8)) * 5.0 + 3.0
+    mod = SeqBN()
+    params = mod.init(jax.random.PRNGKey(1), x)
+    out = mod.apply(params, x)
+    flat = np.asarray(out).reshape(-1, 8)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(flat.std(axis=0), 1.0, atol=1e-3)
+
+
+def test_classbank_split_small_bank():
+    from pfn_tpu.data.omniglot import synthetic_class_bank
+
+    bank = synthetic_class_bank(seed=0, num_classes=20, per_class=4, imgsz=8)
+    train_b, test_b = bank.split(num_train_classes=15)
+    assert train_b.num_classes == 15 and test_b.num_classes == 5
+    with pytest.raises(AssertionError):
+        bank.split(num_train_classes=15, test_start=10)  # overlap
+    with pytest.raises(AssertionError):
+        bank.split(num_train_classes=20)  # empty test
+
+
+def test_tabular_pfn_uses_context_stats(monkeypatch):
+    """PFN windows are z-scored by context-prefix stats — identical
+    preprocessing to the baseline path."""
+    from pfn_tpu.evals import tabular as tab
+
+    captured = {}
+
+    class FakeModel:
+        def apply(self, params, wx, wy, pos):
+            captured["wx"] = np.asarray(wx)
+            return jnp.zeros((*wx.shape[:2], 1))
+
+    X = np.random.RandomState(0).randn(30, 3).astype(np.float32) * 7 + 2
+    y = (np.arange(30) % 2).astype(np.float32)
+    tab.evaluate_position_pfn(FakeModel(), None, X, y, bptt=20,
+                              eval_position=10, max_samples=3)
+    wx = captured["wx"]
+    ctx = wx[:, :10]
+    np.testing.assert_allclose(ctx.mean(axis=1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(ctx.std(axis=1), 1.0, atol=1e-2)
+
+
+def test_tabular_cache_key_includes_settings(tmp_path):
+    from pfn_tpu.evals import tabular as tab
+
+    X = np.random.RandomState(0).randn(40, 2).astype(np.float32)
+    y = (np.arange(40) % 2).astype(np.float32)
+    datasets = [["d", X, y, []]]
+    metric = lambda x, yy, tx, ty, cf: (0.5, np.full(len(ty), 0.5))
+    r1 = tab.evaluate(datasets, metric, "m", 20, [5], max_samples=2,
+                      cache_dir=str(tmp_path))
+    # Different eval position must NOT hit the first run's cache.
+    r2 = tab.evaluate(datasets, metric, "m", 20, [9], max_samples=2,
+                      cache_dir=str(tmp_path))
+    assert "mean_metric_at_9" in r2
+
+
+def test_eval_pos_registry_is_consulted():
+    """Registering a custom sampler changes training draws (the registry
+    used to be decorative)."""
+    from pfn_tpu import registries
+    from pfn_tpu.train.loop import TrainConfig, _sample_eval_pos
+
+    registries.EVAL_POS_SAMPLERS.register(
+        "always_three", lambda max_len: jnp.eye(max_len)[3] + 1e-9
+    )
+    try:
+        cfg = TrainConfig(bptt=10, eval_pos_sampler="always_three")
+        draws = {int(_sample_eval_pos(jax.random.PRNGKey(i), cfg))
+                 for i in range(20)}
+        assert draws == {3}
+    finally:
+        registries.EVAL_POS_SAMPLERS._entries.pop("always_three")
+
+
+def test_full_support_sample_has_tail_mass():
+    """Edge-bucket draws extend beyond the borders via the half-normal tails
+    (the base class truncates to the bucket width)."""
+    from pfn_tpu.distributions import (
+        FullSupportBarDistribution,
+        get_bucket_limits,
+    )
+
+    bar = FullSupportBarDistribution.create(
+        get_bucket_limits(10, full_range=(-1.0, 1.0))
+    )
+    # All mass on the last bucket.
+    logits = jnp.full((2000, 10), -30.0).at[:, -1].set(10.0)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2000)
+    ys = jax.vmap(bar.sample)(keys, logits)
+    assert float(ys.min()) >= float(bar.borders[-2])
+    assert float(ys.max()) > float(bar.borders[-1])  # beyond the border
+    # Mean of draws matches the modeled tail mean.
+    np.testing.assert_allclose(
+        float(ys.mean()), float(bar.mean(logits[0])), atol=0.05
+    )
+
+
+def test_native_cache_meta_alignment(tmp_path):
+    """Metadata of non-multiple-of-4 length must not misalign records."""
+    from pfn_tpu.native import BatchCacheReader, BatchCacheWriter, native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    path = str(tmp_path / "odd.pfnc")
+    # Shapes chosen so the JSON meta length is odd.
+    shapes = {"x": (1, 3, 1), "y": (1, 3), "target_y": (1, 3)}
+    data = {k: np.random.randn(*v).astype(np.float32) for k, v in shapes.items()}
+    with BatchCacheWriter(path, shapes) as w:
+        w.append(**data)
+    r = BatchCacheReader(path)
+    rec = r.record(0)
+    for k in shapes:
+        np.testing.assert_array_equal(rec[k], data[k])
+    # Zero-copy pointer is float-aligned.
+    assert rec["x"].ctypes.data % 4 == 0
