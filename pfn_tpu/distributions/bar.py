@@ -283,6 +283,10 @@ def get_bucket_limits(
     assert (ys is not None) or (full_range is not None)
     if ys is not None:
         ys = np.asarray(ys).flatten()
+        assert np.isfinite(ys).all(), (
+            "non-finite values in the y sample used for bucket estimation — "
+            "check the prior's sampler (e.g. GP Cholesky stability at large T)"
+        )
         if len(ys) % num_outputs:
             ys = ys[: -(len(ys) % num_outputs)]
         if verbose:

@@ -61,6 +61,36 @@ def matern52_kernel(
     return outputscale * (1.0 + sqrt5_d + (5.0 / 3.0) * d * d) * jnp.exp(-sqrt5_d)
 
 
+def psd_safe_cholesky(A: jax.Array, initial_jitter: float = 1e-6, max_tries: int = 5):
+    """Cholesky with escalating diagonal jitter (x10 per retry).
+
+    RBF/Matern kernel matrices are numerically rank-deficient at large T in
+    f32 (at T=2010, lengthscale 0.6, the plain factorization returns NaN),
+    so a fixed jitter is not enough — this mirrors gpytorch's
+    psd_safe_cholesky retry ladder, which is what keeps the reference's
+    prior sampling alive at bptt=2010 (fast_gp.py:53-56 via gpytorch).
+    Bounded ``lax.while_loop``; jittable.
+    """
+    T = A.shape[-1]
+    eye = jnp.eye(T, dtype=A.dtype)
+
+    def cond(state):
+        tries, L, _ = state
+        return (tries < max_tries) & ~jnp.all(jnp.isfinite(L))
+
+    def body(state):
+        tries, _, jit_now = state
+        L = jax.lax.linalg.cholesky(A + jit_now * eye)
+        return tries + 1, L, jit_now * 10.0
+
+    L0 = jax.lax.linalg.cholesky(A + initial_jitter * eye)
+    first_retry = max(initial_jitter * 10.0, 1e-6)
+    _, L, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), L0, jnp.asarray(first_retry, A.dtype))
+    )
+    return L
+
+
 def gp_sample_paths(
     key: jax.Array,
     x: jax.Array,
@@ -81,8 +111,8 @@ def gp_sample_paths(
 
     def per_dataset(k, xb, ls, os_, nz):
         K = kernel(xb.astype(jnp.float32), xb.astype(jnp.float32), ls, os_)
-        A = K + (nz + jitter) * jnp.eye(T, dtype=jnp.float32)
-        L = jax.lax.linalg.cholesky(A)
+        A = K + nz * jnp.eye(T, dtype=jnp.float32)
+        L = psd_safe_cholesky(A, initial_jitter=jitter)
         z = jax.random.normal(k, (T,), dtype=jnp.float32)
         return L @ z
 
@@ -138,7 +168,7 @@ def gp_posterior(
         A = K + jnp.diag(m) * (noise + jitter)
     else:
         A = K + (noise + jitter) * jnp.eye(N, dtype=jnp.float32)
-    L = jax.lax.linalg.cholesky(A)
+    L = psd_safe_cholesky(A, initial_jitter=0.0)
     alpha = jax.scipy.linalg.cho_solve((L, True), y)
     mean = k_star.T @ alpha
     v = jax.scipy.linalg.solve_triangular(L, k_star, lower=True)

@@ -140,3 +140,39 @@ def test_prior_sampling_is_jittable_and_deterministic():
     x2, y2, _ = f(jax.random.PRNGKey(7))
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_psd_safe_cholesky_rank_deficient():
+    """Near-singular kernel matrices must factor via the jitter ladder —
+    a plain f32 Cholesky of a T>=512 RBF kernel with tiny noise returns NaN
+    (the bptt=2010 Fig-3a regime)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfn_tpu.ops.gp_sample import psd_safe_cholesky, rbf_kernel
+
+    x = jnp.linspace(0, 1, 512)[:, None]
+    K = rbf_kernel(x, x, lengthscale=0.6, outputscale=1.0)
+    A = K + 1e-4 * jnp.eye(512)
+    plain = jax.lax.linalg.cholesky(A)
+    safe = psd_safe_cholesky(A)
+    assert bool(jnp.all(jnp.isfinite(safe)))
+    # The ladder only engages when needed; on well-conditioned input it is
+    # the plain factorization.
+    B = jnp.eye(8) * 2.0
+    np.testing.assert_allclose(
+        np.asarray(psd_safe_cholesky(B, initial_jitter=0.0)),
+        np.asarray(jnp.linalg.cholesky(B)), atol=1e-6,
+    )
+
+
+def test_gp_prior_long_sequence_finite():
+    """GP sampling stays finite at bptt=2010 (needs the PSD-safe ladder)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfn_tpu.priors.gp import GPPrior
+
+    prior = GPPrior(num_features=1, noise=1e-4, outputscale=1.0, lengthscale=0.6)
+    _, y, _ = jax.jit(lambda k: prior.sample(k, 2, 1024))(jax.random.PRNGKey(0))
+    assert bool(jnp.all(jnp.isfinite(y)))
