@@ -1,0 +1,100 @@
+"""Resumable Fig-3a training at bptt=2010 (the paper's long-sequence config).
+
+Runs the exact notebook grid point (SetupForGPFittingExperiments cell 5)
+with full-state checkpointing every ``--checkpoint_every`` epochs; re-running
+the script resumes from the newest checkpoint, so a multi-hour run can be
+executed in bounded slots. When the target epoch count is reached it
+evaluates the PFN against the exact-GP oracle over context sizes and writes
+curves.
+
+    python experiments/fig3a_longrun.py --epochs 500   # repeat until done
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+GP_HP = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--bptt", type=int, default=2010)
+    p.add_argument("--num_buckets", type=int, default=1000)
+    p.add_argument("--checkpoint_every", type=int, default=20)
+    p.add_argument("--out", default="results/fig3a")
+    p.add_argument("--eval_batch", type=int, default=32)
+    p.add_argument("--skip_eval", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pfn_tpu.distributions import get_bucket_limits
+    from pfn_tpu.evals import eval_positional_loss, gp_exact_evaluate
+    from pfn_tpu.priors.base import sample_y_for_buckets
+    from pfn_tpu.priors.gp import GPPrior
+    from pfn_tpu.train import TrainConfig, full_support_bar_criterion, train
+
+    os.makedirs(args.out, exist_ok=True)
+    prior = GPPrior(num_features=1, **GP_HP)
+    # Deterministic bucket estimation (same seed every invocation so resumed
+    # runs keep the identical criterion).
+    ys = sample_y_for_buckets(prior, 100_000, args.bptt, seed=7)
+    criterion = full_support_bar_criterion(
+        get_bucket_limits(args.num_buckets, ys=ys)
+    )
+
+    cfg = TrainConfig(
+        emsize=512, nhid=1024, nlayers=6, nhead=4, bptt=args.bptt,
+        batch_size=4, aggregate_k_gradients=25,
+        epochs=args.epochs, steps_per_epoch=100,
+        lr=1e-4, warmup_epochs=max(2, args.epochs // 25),
+        eval_pos_sampler="weighted", eval_pos_max=min(2000, args.bptt),
+        dtype=jnp.bfloat16,
+        checkpoint_dir=os.path.join(args.out, "ck"),
+        checkpoint_every=args.checkpoint_every,
+    )
+    result = train(prior, criterion, cfg)
+    done = not result.epoch_stats or result.epoch_stats[-1]["epoch"] >= args.epochs
+    print(f"trained through epoch "
+          f"{result.epoch_stats[-1]['epoch'] if result.epoch_stats else args.epochs}"
+          f" (target {args.epochs}); {'DONE' if done else 'rerun to continue'}")
+
+    if not done or args.skip_eval:
+        return
+
+    eval_T = args.bptt
+    x, y, target_y = prior.sample(jax.random.PRNGKey(1234), args.eval_batch, eval_T)
+    positions = jnp.asarray(
+        [1, 2, 5, 10, 20, 50, 100, 200, 400, 700, 1000, 1400, 1800, 2000]
+    )
+    positions = positions[positions < eval_T]
+    pfn_nll, _ = eval_positional_loss(
+        result.model, result.params, criterion, x, y, target_y,
+        positions=positions,
+    )
+    _, oracle_at, secs = gp_exact_evaluate(x, y, GP_HP, positions=positions)
+    out = {
+        "positions": positions.tolist(),
+        "pfn_nll": np.asarray(pfn_nll).tolist(),
+        "oracle_nll": np.asarray(oracle_at).tolist(),
+        "final_train_loss": result.final_loss,
+        "oracle_seconds": secs,
+        "epochs": args.epochs,
+    }
+    with open(os.path.join(args.out, "curves.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    gap = np.asarray(pfn_nll) - np.asarray(oracle_at)
+    print(f"mean gap {gap.mean():.4f} nats; per-position:")
+    for t, g in zip(positions.tolist(), gap.tolist()):
+        print(f"  ctx={t:4d} gap={g:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,20 @@ def load_local_benchmark(max_samples: int = 400):
     return rows
 
 
+def load_svmlight(path: str, max_samples: int = 400):
+    """Load an svmlight/libsvm file as a class-balanced binary dataset
+    (parity: the svmlight loader at reference datasets/__init__.py:8-16).
+    Labels are mapped to {0, 1} by sign/value order."""
+    from sklearn.datasets import load_svmlight_file
+
+    X, y = load_svmlight_file(path)
+    X = np.asarray(X.todense(), dtype=np.float32)
+    labels = np.unique(y)
+    assert len(labels) == 2, f"expected binary labels, got {labels}"
+    y = (y == labels[1]).astype(np.float32)
+    return class_balance_interleave(X, y, max_samples=max_samples)
+
+
 # ---------------------------------------------------------------------------
 # OpenML (gated: needs the openml package + network)
 # ---------------------------------------------------------------------------

@@ -40,17 +40,25 @@ def gp_exact_evaluate(
     kernel=rbf_kernel,
     step_size: int = 1,
     start_pos: int = 0,
+    positions=None,
 ):
     """Exact GP posterior loss at x[t] given (x[:t], y[:t]) for t sweeping the
     sequence. x: (B, T, F), y: (B, T) (batch-first; the reference is
     seq-first). Returns (all_losses (num_t, B), mean_losses (num_t(+1),),
     elapsed_seconds) like reference fast_gp.py:120 — with the same leading
-    0.0 entry when start_pos == 0 (fast_gp.py:91).
+    0.0 entry when start_pos == 0 (fast_gp.py:91). Pass ``positions`` to
+    evaluate an explicit subset of context sizes (each t costs a full-size
+    masked Cholesky, so a dense sweep at large T is expensive); mean_losses
+    then aligns with ``positions`` (no leading zero).
     """
     hp = hyperparameters or {"noise": 0.1, "outputscale": 0.1, "lengthscale": 0.1}
     t0 = time.time()
     B, T, _ = x.shape
-    ts = jnp.arange(max(start_pos, 1), T, step_size)
+    if positions is not None:
+        ts = jnp.asarray(positions)
+        start_pos = 1  # suppress the leading-zero convention below
+    else:
+        ts = jnp.arange(max(start_pos, 1), T, step_size)
 
     @jax.jit
     def losses_for_all_t():

@@ -109,3 +109,21 @@ def test_evaluate_sweep_with_cache(tiny_tabular_pfn, tmp_path):
         num_features=4,
     )
     assert out2["mean_metric_at_30"] == out["mean_metric_at_30"]
+
+
+def test_svmlight_loader(tmp_path):
+    """Parity: the svmlight loader (reference datasets/__init__.py:8-16)."""
+    from sklearn.datasets import dump_svmlight_file
+
+    from pfn_tpu.data.datasets import load_svmlight
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(50, 4)
+    y = np.concatenate([np.full(30, -1.0), np.full(20, 1.0)])
+    path = str(tmp_path / "d.svm")
+    dump_svmlight_file(X, y, path)
+    Xb, yb = load_svmlight(path)
+    # Balanced to 2x minority and interleaved.
+    assert len(yb) == 40 and yb.sum() == 20
+    assert set(np.unique(yb)) == {0.0, 1.0}
+    assert Xb.shape == (40, 4)
