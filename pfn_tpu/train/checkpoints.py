@@ -53,6 +53,22 @@ def restore_checkpoint(path: str, template: Any | None = None) -> Any:
         return ckptr.restore(path)
 
 
+def prune_state_checkpoints(checkpoint_dir: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` epoch_N checkpoints (a full train
+    state is ~3x params of f32 — retention control for long runs)."""
+    import shutil
+
+    entries = []
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("epoch_"):
+            try:
+                entries.append((int(name.split("_", 1)[1]), name))
+            except ValueError:
+                continue
+    for _, name in sorted(entries)[:-keep]:
+        shutil.rmtree(os.path.join(checkpoint_dir, name), ignore_errors=True)
+
+
 def latest_state_checkpoint(checkpoint_dir: str):
     """Find the newest ``epoch_N`` checkpoint under ``checkpoint_dir``.
 

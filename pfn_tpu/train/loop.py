@@ -70,6 +70,7 @@ class TrainConfig:
     # state_dicts by hand in notebooks (SURVEY.md §5 "Checkpoint / resume").
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0
+    checkpoint_keep: int = 2  # newest checkpoints retained (0 = keep all)
     validation_period: int = 10
     seed: int = 0
     verbose: bool = True
@@ -355,12 +356,17 @@ def train(
             and cfg.checkpoint_every > 0
             and epoch % cfg.checkpoint_every == 0
         ):
-            from pfn_tpu.train.checkpoints import save_checkpoint
+            from pfn_tpu.train.checkpoints import (
+                prune_state_checkpoints,
+                save_checkpoint,
+            )
 
             save_checkpoint(
                 f"{cfg.checkpoint_dir}/epoch_{epoch}",
                 {"state": state, "key": key},
             )
+            if cfg.checkpoint_keep > 0:
+                prune_state_checkpoints(cfg.checkpoint_dir, cfg.checkpoint_keep)
         if cfg.verbose:
             print(
                 f"| epoch {epoch:3d} | time {stats['epoch_time']:5.2f}s "

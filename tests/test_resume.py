@@ -63,3 +63,16 @@ def test_completed_run_is_noop_on_resume(tmp_path):
     train(prior, mse_criterion(), cfg)
     res = train(prior, mse_criterion(), cfg)
     assert res.epoch_stats == []  # nothing left to do
+
+
+def test_checkpoint_pruning(tmp_path):
+    """Only the newest checkpoint_keep checkpoints survive a long run."""
+    import os
+
+    prior = RidgePrior(num_features=2)
+    ckdir = str(tmp_path / "ck")
+    train(prior, mse_criterion(),
+          _cfg(epochs=5, checkpoint_dir=ckdir, checkpoint_every=1,
+               checkpoint_keep=2))
+    names = sorted(os.listdir(ckdir))
+    assert names == ["epoch_4", "epoch_5"]
