@@ -20,6 +20,35 @@ import os
 GP_HP = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
 
 
+def oracle_pass(out_dir: str):
+    """Phase B: exact-GP oracle in FLOAT64 on CPU.
+
+    Runs in its own process (invoked with --oracle_pass) because x64 must be
+    enabled before first jax use. f32 is NOT enough here: at T~2000 with
+    noise 1e-4 the masked Cholesky needs ~1e-3 jitter to factor in f32,
+    inflating the predictive variance ~10x and corrupting the oracle NLL.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    data = np.load(os.path.join(out_dir, "eval_data.npz"))
+    from pfn_tpu.evals import gp_exact_evaluate
+
+    _, oracle_at, secs = gp_exact_evaluate(
+        jnp.asarray(data["x"]), jnp.asarray(data["y"]), GP_HP,
+        positions=jnp.asarray(data["positions"]), dtype=jnp.float64,
+    )
+    with open(os.path.join(out_dir, "oracle.json"), "w") as f:
+        json.dump(
+            {"oracle_nll": np.asarray(oracle_at).tolist(), "seconds": secs}, f
+        )
+    print(f"oracle (f64, cpu) done in {secs:.0f}s")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=500)
@@ -29,14 +58,19 @@ def main():
     p.add_argument("--out", default="results/fig3a")
     p.add_argument("--eval_batch", type=int, default=32)
     p.add_argument("--skip_eval", action="store_true")
+    p.add_argument("--oracle_pass", action="store_true")
     args = p.parse_args()
+
+    if args.oracle_pass:
+        oracle_pass(args.out)
+        return
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from pfn_tpu.distributions import get_bucket_limits
-    from pfn_tpu.evals import eval_positional_loss, gp_exact_evaluate
+    from pfn_tpu.evals import eval_positional_loss
     from pfn_tpu.priors.base import sample_y_for_buckets
     from pfn_tpu.priors.gp import GPPrior
     from pfn_tpu.train import TrainConfig, full_support_bar_criterion, train
@@ -69,6 +103,8 @@ def main():
     if not done or args.skip_eval:
         return
 
+    # Phase A: PFN positional NLL on the accelerator; eval data saved so the
+    # f64 CPU oracle subprocess scores the IDENTICAL datasets.
     eval_T = args.bptt
     x, y, target_y = prior.sample(jax.random.PRNGKey(1234), args.eval_batch, eval_T)
     positions = jnp.asarray(
@@ -79,18 +115,34 @@ def main():
         result.model, result.params, criterion, x, y, target_y,
         positions=positions,
     )
-    _, oracle_at, secs = gp_exact_evaluate(x, y, GP_HP, positions=positions)
+    np.savez(
+        os.path.join(args.out, "eval_data.npz"),
+        x=np.asarray(x), y=np.asarray(y), positions=np.asarray(positions),
+    )
+
+    # Phase B in a subprocess (needs jax_enable_x64 before first jax use).
+    import subprocess
+    import sys
+
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--oracle_pass",
+         "--out", args.out],
+        check=True,
+    )
+    with open(os.path.join(args.out, "oracle.json")) as f:
+        oracle = json.load(f)
+
     out = {
         "positions": positions.tolist(),
         "pfn_nll": np.asarray(pfn_nll).tolist(),
-        "oracle_nll": np.asarray(oracle_at).tolist(),
+        "oracle_nll": oracle["oracle_nll"],
         "final_train_loss": result.final_loss,
-        "oracle_seconds": secs,
+        "oracle_seconds": oracle["seconds"],
         "epochs": args.epochs,
     }
     with open(os.path.join(args.out, "curves.json"), "w") as f:
         json.dump(out, f, indent=2)
-    gap = np.asarray(pfn_nll) - np.asarray(oracle_at)
+    gap = np.asarray(pfn_nll) - np.asarray(oracle["oracle_nll"])
     print(f"mean gap {gap.mean():.4f} nats; per-position:")
     for t, g in zip(positions.tolist(), gap.tolist()):
         print(f"  ctx={t:4d} gap={g:.4f}")

@@ -41,6 +41,7 @@ def gp_exact_evaluate(
     step_size: int = 1,
     start_pos: int = 0,
     positions=None,
+    dtype=jnp.float32,
 ):
     """Exact GP posterior loss at x[t] given (x[:t], y[:t]) for t sweeping the
     sequence. x: (B, T, F), y: (B, T) (batch-first; the reference is
@@ -75,6 +76,7 @@ def gp_exact_evaluate(
                     noise=hp["noise"],
                     kernel=kernel,
                     context_mask=mask,
+                    dtype=dtype,
                 )
                 m = mean[t]
                 v = var[t]

@@ -140,6 +140,7 @@ def gp_posterior(
     kernel=rbf_kernel,
     jitter: float = 1e-6,
     context_mask: jax.Array | None = None,
+    dtype=jnp.float32,
 ):
     """Exact GP posterior predictive (mean, variance) at query points.
 
@@ -153,21 +154,26 @@ def gp_posterior(
 
     Returned variance *includes* observation noise (the reference scores
     ``likelihood(model(x))``, fast_gp.py:103-104).
+
+    ``dtype``: pass jnp.float64 (with jax_enable_x64, CPU) for large-T
+    oracle accuracy — at T≈2000 with noise 1e-4 the f32 path needs jitter
+    ~1e-3 to factor, which inflates the predictive variance by ~10x; f64
+    factors with negligible jitter.
     """
-    xt = x_train.astype(jnp.float32)
-    xq = x_query.astype(jnp.float32)
+    xt = x_train.astype(dtype)
+    xq = x_query.astype(dtype)
     N = xt.shape[0]
-    K = kernel(xt, xt, lengthscale, outputscale)
-    k_star = kernel(xt, xq, lengthscale, outputscale)  # (N, M)
-    y = y_train.astype(jnp.float32)
+    K = kernel(xt, xt, lengthscale, outputscale).astype(dtype)
+    k_star = kernel(xt, xq, lengthscale, outputscale).astype(dtype)  # (N, M)
+    y = y_train.astype(dtype)
     if context_mask is not None:
-        m = context_mask.astype(jnp.float32)
+        m = context_mask.astype(dtype)
         K = K * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
         k_star = k_star * m[:, None]
         y = y * m
         A = K + jnp.diag(m) * (noise + jitter)
     else:
-        A = K + (noise + jitter) * jnp.eye(N, dtype=jnp.float32)
+        A = K + (noise + jitter) * jnp.eye(N, dtype=dtype)
     L = psd_safe_cholesky(A, initial_jitter=0.0)
     alpha = jax.scipy.linalg.cho_solve((L, True), y)
     mean = k_star.T @ alpha

@@ -102,3 +102,39 @@ def test_bayes_linreg_calibration():
     )
     assert abs(z.mean()) < 0.1
     assert abs(z.std() - 1.0) < 0.1
+
+
+def test_f64_oracle_reaches_noise_floor_large_context():
+    """The exact-GP oracle must approach the noise NLL floor at large
+    context; the f32 path needs ~1e-3 Cholesky jitter at large T which
+    inflates the predictive variance ~10x (the Fig-3a oracle bug), so the
+    f64 path exists and must be accurate. Runs in a subprocess because
+    jax_enable_x64 is process-global."""
+    import subprocess
+    import sys
+
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import math
+from pfn_tpu.evals import gp_exact_evaluate
+from pfn_tpu.ops.gp_sample import gp_sample_paths
+
+hp = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
+key = jax.random.PRNGKey(0)
+x = jnp.linspace(0, 1, 512)[None, :, None].astype(jnp.float64)
+x = jnp.tile(x, (4, 1, 1))
+y = gp_sample_paths(key, x.astype(jnp.float32), **hp).astype(jnp.float64)
+_, nll, _ = gp_exact_evaluate(x, y, hp, positions=jnp.asarray([500]), dtype=jnp.float64)
+floor = 0.5 * (math.log(2 * math.pi) + math.log(hp["noise"]))
+print("ORACLE", float(nll[0]), "FLOOR", floor)
+assert abs(float(nll[0]) - floor) < 0.7, (float(nll[0]), floor)
+print("OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert "OK" in out.stdout, (out.stdout, out.stderr[-2000:])
