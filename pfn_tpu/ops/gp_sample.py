@@ -20,11 +20,18 @@ import jax.numpy as jnp
 
 def _sq_dists(x1: jax.Array, x2: jax.Array) -> jax.Array:
     """Pairwise squared euclidean distances. x1: (..., N, F), x2: (..., M, F)."""
-    # (x - y)^2 = x^2 + y^2 - 2xy, clamped for numerical safety.
+    # (x - y)^2 = x^2 + y^2 - 2xy, clamped for numerical safety. HIGHEST
+    # matmul precision: the TPU MXU's default f32 path (bf16 passes) puts
+    # ~1e-2-scale errors into K, which swamps likelihood noises of 1e-4 and
+    # breaks the Cholesky at large T.
     n1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
     n2 = jnp.sum(x2 * x2, axis=-1, keepdims=True)
     cross = jnp.einsum(
-        "...nf,...mf->...nm", x1, x2, preferred_element_type=jnp.float32
+        "...nf,...mf->...nm",
+        x1,
+        x2,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return jnp.maximum(n1 + jnp.swapaxes(n2, -1, -2) - 2.0 * cross, 0.0)
 
@@ -79,8 +86,13 @@ def psd_safe_cholesky(A: jax.Array, initial_jitter: float = 1e-6, max_tries: int
         return (tries < max_tries) & ~jnp.all(jnp.isfinite(L))
 
     def body(state):
-        tries, _, jit_now = state
-        L = jax.lax.linalg.cholesky(A + jit_now * eye)
+        tries, L, jit_now = state
+        # Keep an already-finite factorization untouched: under vmap the
+        # while_loop runs every batch element until the WORST one converges,
+        # and recomputing unconditionally would silently re-jitter converged
+        # datasets up to the worst element's jitter level.
+        L_new = jax.lax.linalg.cholesky(A + jit_now * eye)
+        L = jnp.where(jnp.all(jnp.isfinite(L)), L, L_new)
         return tries + 1, L, jit_now * 10.0
 
     L0 = jax.lax.linalg.cholesky(A + initial_jitter * eye)
@@ -110,11 +122,14 @@ def gp_sample_paths(
     B, T, _ = x.shape
 
     def per_dataset(k, xb, ls, os_, nz):
-        K = kernel(xb.astype(jnp.float32), xb.astype(jnp.float32), ls, os_)
-        A = K + nz * jnp.eye(T, dtype=jnp.float32)
-        L = psd_safe_cholesky(A, initial_jitter=jitter)
-        z = jax.random.normal(k, (T,), dtype=jnp.float32)
-        return L @ z
+        # HIGHEST matmul precision end to end: GP covariance work at noise
+        # scales of 1e-4 cannot tolerate the TPU's default f32 matmul path.
+        with jax.default_matmul_precision("highest"):
+            K = kernel(xb.astype(jnp.float32), xb.astype(jnp.float32), ls, os_)
+            A = K + nz * jnp.eye(T, dtype=jnp.float32)
+            L = psd_safe_cholesky(A, initial_jitter=jitter)
+            z = jax.random.normal(k, (T,), dtype=jnp.float32)
+            return L @ z
 
     keys = jax.random.split(key, B)
 
@@ -160,25 +175,26 @@ def gp_posterior(
     ~1e-3 to factor, which inflates the predictive variance by ~10x; f64
     factors with negligible jitter.
     """
-    xt = x_train.astype(dtype)
-    xq = x_query.astype(dtype)
-    N = xt.shape[0]
-    K = kernel(xt, xt, lengthscale, outputscale).astype(dtype)
-    k_star = kernel(xt, xq, lengthscale, outputscale).astype(dtype)  # (N, M)
-    y = y_train.astype(dtype)
-    if context_mask is not None:
-        m = context_mask.astype(dtype)
-        K = K * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
-        k_star = k_star * m[:, None]
-        y = y * m
-        A = K + jnp.diag(m) * (noise + jitter)
-    else:
-        A = K + (noise + jitter) * jnp.eye(N, dtype=dtype)
-    L = psd_safe_cholesky(A, initial_jitter=0.0)
-    alpha = jax.scipy.linalg.cho_solve((L, True), y)
-    mean = k_star.T @ alpha
-    v = jax.scipy.linalg.solve_triangular(L, k_star, lower=True)
-    kqq = kernel(xq, xq, lengthscale, outputscale)
-    var_f = jnp.diagonal(kqq) - jnp.sum(v * v, axis=0)
-    var = jnp.maximum(var_f, 0.0) + noise
-    return mean, var
+    with jax.default_matmul_precision("highest"):
+        xt = x_train.astype(dtype)
+        xq = x_query.astype(dtype)
+        N = xt.shape[0]
+        K = kernel(xt, xt, lengthscale, outputscale).astype(dtype)
+        k_star = kernel(xt, xq, lengthscale, outputscale).astype(dtype)  # (N, M)
+        y = y_train.astype(dtype)
+        if context_mask is not None:
+            m = context_mask.astype(dtype)
+            K = K * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+            k_star = k_star * m[:, None]
+            y = y * m
+            A = K + jnp.diag(m) * (noise + jitter)
+        else:
+            A = K + (noise + jitter) * jnp.eye(N, dtype=dtype)
+        L = psd_safe_cholesky(A, initial_jitter=0.0)
+        alpha = jax.scipy.linalg.cho_solve((L, True), y)
+        mean = k_star.T @ alpha
+        v = jax.scipy.linalg.solve_triangular(L, k_star, lower=True)
+        kqq = kernel(xq, xq, lengthscale, outputscale)
+        var_f = jnp.diagonal(kqq) - jnp.sum(v * v, axis=0)
+        var = jnp.maximum(var_f, 0.0) + noise
+        return mean, var
