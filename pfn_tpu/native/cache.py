@@ -294,3 +294,14 @@ class CachedPrior:
             jnp.asarray(rec["y"]),
             jnp.asarray(rec["target_y"]),
         )
+
+    def training_iter(self, seed: int = 0):
+        """Infinite ``(x, y, target_y)`` iterator over random cached batches —
+        plug into ``pfn_tpu.train.train(..., data_iter=...)``."""
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        n = len(self.reader)
+        while True:
+            rec = self.reader.record(int(rng.randint(n)))
+            yield rec["x"], rec["y"], rec["target_y"]

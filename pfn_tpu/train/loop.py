@@ -223,6 +223,76 @@ def make_train_step(model, prior, criterion: Criterion, cfg: TrainConfig, tx, me
     return train_step
 
 
+def make_train_step_from_batch(model, criterion: Criterion, cfg: TrainConfig, tx, mesh=None):
+    """Train-step variant fed by HOST-provided batches.
+
+    For data the device cannot generate: pre-rendered caches
+    (pfn_tpu.native.CachedPrior — the use_saved_from role), float64-sampled
+    GP data beyond f32 on-device fidelity, or real datasets. Signature:
+    ``(state, key, xs, ys, target_ys) -> (state, metrics)`` where the arrays
+    carry a leading aggregate_k_gradients axis: xs (k, B, T, F), ys/targets
+    (k, B, T). Everything else (masked loss, summed grads, clip, Adam,
+    positional bookkeeping) matches make_train_step.
+    """
+    k = cfg.aggregate_k_gradients
+    data_sharding = batch_sharding(mesh) if mesh is not None else None
+
+    def microbatch_loss(params, key, x, y, target_y):
+        k_sep, k_drop = jax.random.split(key)
+        if data_sharding is not None:
+            x, y, target_y = jax.lax.with_sharding_constraint(
+                (x, y, target_y), data_sharding
+            )
+        sep = _sample_eval_pos(k_sep, cfg)
+        out = model.apply(
+            params, x, y, sep,
+            deterministic=cfg.dropout == 0.0,
+            rngs={"dropout": k_drop} if cfg.dropout > 0 else None,
+        )
+        losses = criterion.per_position(out, target_y)
+        mask = jnp.broadcast_to(
+            jnp.arange(cfg.bptt)[None, :] >= sep, losses.shape
+        ).astype(losses.dtype)
+        loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        return loss, sep
+
+    def train_step(state: TrainState, key, xs, ys, target_ys):
+        keys = jax.random.split(key, k)
+
+        def micro(carry, inp):
+            grad_sum, loss_sum, pos_loss, pos_cnt = carry
+            mkey, x, y, ty = inp
+            (loss, sep), grads = jax.value_and_grad(
+                microbatch_loss, has_aux=True
+            )(state.params, mkey, x, y, ty)
+            grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+            onehot = jax.nn.one_hot(sep, cfg.bptt)
+            return (
+                grad_sum, loss_sum + loss, pos_loss + onehot * loss,
+                pos_cnt + onehot,
+            ), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        init = (zero_grads, jnp.zeros(()), jnp.zeros(cfg.bptt), jnp.zeros(cfg.bptt))
+        (grads, loss_sum, pos_loss, pos_cnt), _ = jax.lax.scan(
+            micro, init, (keys, xs, ys, target_ys)
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        metrics = {
+            "loss": loss_sum / k,
+            "pos_loss": pos_loss,
+            "pos_cnt": pos_cnt,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
 def make_train_chunk(train_step, updates_per_call: int):
     """Scan ``updates_per_call`` full train steps inside one jitted call.
 
@@ -257,11 +327,17 @@ def train(
     mesh=None,
     init_params=None,
     validate_fn: Callable | None = None,
+    data_iter=None,
 ) -> TrainResult:
     """Meta-train a PFN on a prior. Returns the trained params + stats.
 
     ``validate_fn(model, params) -> float`` is the validation hook analog of
     the reference's dl.validate (train.py:119-121).
+
+    ``data_iter``: optional host iterator yielding ``(x, y, target_y)``
+    batches of shape (batch_size, bptt, ...) — switches to the host-fed
+    step (make_train_step_from_batch) for pre-rendered / out-of-fidelity
+    data; ``prior`` is then only consulted for num_features/num_outputs.
     """
     model = build_model(prior, criterion, cfg)
     key = jax.random.PRNGKey(cfg.seed)
@@ -277,10 +353,17 @@ def train(
     state = TrainState(
         params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
     )
-    step_fn = make_train_step(model, prior, criterion, cfg, tx, mesh=mesh)
-    upc = max(1, cfg.updates_per_call)
-    if upc > 1:
-        step_fn = make_train_chunk(step_fn, upc)
+    if data_iter is not None:
+        assert cfg.updates_per_call <= 1, (
+            "updates_per_call > 1 needs on-device data generation"
+        )
+        step_fn = make_train_step_from_batch(model, criterion, cfg, tx, mesh=mesh)
+        upc = 1
+    else:
+        step_fn = make_train_step(model, prior, criterion, cfg, tx, mesh=mesh)
+        upc = max(1, cfg.updates_per_call)
+        if upc > 1:
+            step_fn = make_train_chunk(step_fn, upc)
     step_jit = jax.jit(step_fn, donate_argnums=0)
 
     updates_per_epoch = max(1, cfg.steps_per_epoch // cfg.aggregate_k_gradients)
@@ -332,7 +415,15 @@ def train(
             # train.py:63-108, collapse by design — see utils/profiling.py).
             # With updates_per_call > 1 the call covers a whole scanned chunk.
             with timers.channel("fused_step"):
-                state, metrics = step_jit(state, sub)
+                if data_iter is not None:
+                    ks = cfg.aggregate_k_gradients
+                    batches = [next(data_iter) for _ in range(ks)]
+                    xs, ys, tys = (
+                        jnp.stack([b[i] for b in batches]) for i in range(3)
+                    )
+                    state, metrics = step_jit(state, sub, xs, ys, tys)
+                else:
+                    state, metrics = step_jit(state, sub)
                 loss_acc += float(metrics["loss"])  # forces completion
             pos_loss_acc = pos_loss_acc + metrics["pos_loss"]
             pos_cnt_acc = pos_cnt_acc + metrics["pos_cnt"]
