@@ -11,7 +11,6 @@ import ctypes
 import json
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 

@@ -11,7 +11,7 @@ one source of truth, and user code can ``register`` its own entries (the
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 
 class Registry:

@@ -34,7 +34,7 @@ import optax
 from flax import struct
 
 from pfn_tpu.models.transformer import PFNTransformer, TransformerConfig, num_params
-from pfn_tpu.parallel.mesh import batch_sharding, param_sharding, replicate
+from pfn_tpu.parallel.mesh import batch_sharding, param_sharding
 from pfn_tpu.train.losses import Criterion
 from pfn_tpu.utils.profiling import StepTimers
 from pfn_tpu.utils.schedules import cosine_schedule_with_warmup, get_openai_lr
