@@ -37,6 +37,19 @@ from pfn_tpu.models.positional import NoPositionalEncoding
 from pfn_tpu.ops.attention import pfn_attention
 
 
+def _constrain(x, sharding):
+    """Apply a sharding constraint if one is configured and every sharded dim
+    divides evenly (else no-op — e.g. the B=1 tracer in init_params)."""
+    if sharding is None:
+        return x
+    mesh_shape = sharding.mesh.shape
+    for dim, names in zip(x.shape, sharding.spec):
+        for n in (names,) if isinstance(names, str) else (names or ()):
+            if dim % mesh_shape[n] != 0:
+                return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
 @dataclasses.dataclass(frozen=True)
 class TransformerConfig:
     """Static model configuration (the reference's constructor args,
@@ -57,6 +70,11 @@ class TransformerConfig:
     pos_encoder: Callable | None = None  # factory (max_len) -> nn.Module
     decoder: Callable | None = None  # factory (nhid, n_out) -> nn.Module
     max_len: int = 5000  # for positional-encoding tables
+    # Sequence-parallel activation sharding: a NamedSharding for the (B, T, D)
+    # token stream (see pfn_tpu.parallel.mesh.token_sharding). Applied after
+    # token construction and after every encoder layer so FFN/LayerNorm run
+    # sequence-sharded; attention gathers K/V over 'sp' (XLA SPMD).
+    token_sharding: Any = None
 
 
 class MultiheadPFNAttention(nn.Module):
@@ -182,6 +200,7 @@ class PFNTransformer(nn.Module):
         y_emb = y_enc(y[..., None].astype(cfg.dtype))
         pos = jnp.arange(T)[None, :, None]
         tokens = x_emb + jnp.where(pos < single_eval_pos, y_emb, 0.0)
+        tokens = _constrain(tokens, cfg.token_sharding)
 
         if cfg.input_normalization:
             tokens = SeqBN(name="input_ln")(tokens, deterministic=deterministic)
@@ -201,6 +220,7 @@ class PFNTransformer(nn.Module):
                 attention_impl=cfg.attention_impl,
                 name=f"layer_{i}",
             )(tokens, single_eval_pos, deterministic=deterministic)
+            tokens = _constrain(tokens, cfg.token_sharding)
 
         decoder = (cfg.decoder or MLPDecoder)(cfg.nhid, cfg.n_out, name="decoder")
         return decoder(tokens.astype(jnp.float32))

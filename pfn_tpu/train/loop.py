@@ -34,7 +34,7 @@ import optax
 from flax import struct
 
 from pfn_tpu.models.transformer import PFNTransformer, TransformerConfig, num_params
-from pfn_tpu.parallel.mesh import batch_sharding, param_sharding
+from pfn_tpu.parallel.mesh import batch_sharding, param_sharding, token_sharding
 from pfn_tpu.train.losses import Criterion
 from pfn_tpu.utils.profiling import StepTimers
 from pfn_tpu.utils.schedules import cosine_schedule_with_warmup, get_openai_lr
@@ -74,6 +74,10 @@ class TrainConfig:
     validation_period: int = 10
     seed: int = 0
     verbose: bool = True
+    # ZeRO-3-style parameter/optimizer-state sharding over the 'dp' mesh axis
+    # (pfn_tpu.parallel.mesh.param_sharding(fsdp=True)). Only meaningful when
+    # train() receives a mesh.
+    fsdp: bool = False
     attention_impl: str = "auto"
     dtype: Any = jnp.float32
     encoder: Callable | None = None
@@ -99,9 +103,12 @@ class TrainResult:
     epoch_stats: list
 
 
-def build_model(prior, criterion: Criterion, cfg: TrainConfig) -> PFNTransformer:
+def build_model(
+    prior, criterion: Criterion, cfg: TrainConfig, mesh=None
+) -> PFNTransformer:
     n_out = criterion.n_out(prior.num_outputs)
     mcfg = TransformerConfig(
+        token_sharding=token_sharding(mesh) if mesh is not None else None,
         num_features=prior.num_features,
         n_out=n_out,
         emsize=cfg.emsize,
@@ -339,7 +346,7 @@ def train(
     step (make_train_step_from_batch) for pre-rendered / out-of-fidelity
     data; ``prior`` is then only consulted for num_features/num_outputs.
     """
-    model = build_model(prior, criterion, cfg)
+    model = build_model(prior, criterion, cfg, mesh=mesh)
     key = jax.random.PRNGKey(cfg.seed)
     key, init_key = jax.random.split(key)
     params = init_params if init_params is not None else model.init_params(
@@ -347,9 +354,9 @@ def train(
     )
     tx, base_lr, schedule = _make_optimizer(cfg, num_params(params))
     if mesh is not None:
-        # Place params per the tp rules; tx.init derives the optimizer state
-        # from the params eagerly, so its sharding follows automatically.
-        params = jax.device_put(params, param_sharding(params, mesh))
+        # Place params per the tp/fsdp rules; tx.init derives the optimizer
+        # state from the params eagerly, so its sharding follows automatically.
+        params = jax.device_put(params, param_sharding(params, mesh, fsdp=cfg.fsdp))
     state = TrainState(
         params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
     )

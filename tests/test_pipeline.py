@@ -1,0 +1,126 @@
+"""Pipeline parallelism: the pipelined encoder stack must be bit-compatible
+with the single-device PFNTransformer (same params -> same outputs/grads),
+and the fused pp train step must run end to end on the virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pfn_tpu.distributions import get_bucket_limits
+from pfn_tpu.models.transformer import PFNTransformer, TransformerConfig
+from pfn_tpu.parallel.pipeline import (
+    PipelinedPFN,
+    make_pp_mesh,
+    make_pp_train_step,
+    to_pipeline_params,
+)
+from pfn_tpu.priors.gp import GPPrior
+from pfn_tpu.train import TrainConfig, bar_criterion
+from pfn_tpu.train.loop import TrainState, build_model
+
+
+def _setup(dp=2, pp=4, num_micro=4, B=8, T=12):
+    cfg = TransformerConfig(
+        num_features=1,
+        n_out=16,
+        emsize=32,
+        nhead=4,
+        nhid=64,
+        nlayers=4,
+        attention_impl="dense",
+    )
+    mesh = make_pp_mesh(dp=dp, pp=pp)
+    pp_model = PipelinedPFN(cfg, mesh, num_micro=num_micro)
+    ref_model = PFNTransformer(cfg)
+    key = jax.random.PRNGKey(0)
+    params = ref_model.init_params(key, seq_len=T)
+    kx, ky = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (B, T, 1))
+    y = jax.random.normal(ky, (B, T))
+    return cfg, mesh, pp_model, ref_model, params, x, y
+
+
+def test_pipeline_forward_matches_reference(eight_devices):
+    _, _, pp_model, ref_model, params, x, y = _setup()
+    sep = jnp.asarray(6, jnp.int32)
+    ref_out = ref_model.apply(params, x, y, sep)
+    pp_params = pp_model.place_params(to_pipeline_params(params, pp_model))
+    pp_out = jax.jit(pp_model.apply)(pp_params, x, y, sep)
+    np.testing.assert_allclose(
+        np.asarray(pp_out), np.asarray(ref_out), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pipeline_grads_match_reference(eight_devices):
+    """Backward through the pipeline (AD transposes the ppermute schedule)
+    must yield the same gradients as the flat layer stack."""
+    _, _, pp_model, ref_model, params, x, y = _setup()
+    sep = jnp.asarray(6, jnp.int32)
+    target = jax.random.normal(jax.random.PRNGKey(2), (8, 12, 16))
+
+    def ref_loss(p):
+        return jnp.mean((ref_model.apply(p, x, y, sep) - target) ** 2)
+
+    def pp_loss(p):
+        return jnp.mean((pp_model.apply(p, x, y, sep) - target) ** 2)
+
+    ref_grads = jax.grad(ref_loss)(params)
+    pp_params = pp_model.place_params(to_pipeline_params(params, pp_model))
+    pp_grads = jax.jit(jax.grad(pp_loss))(pp_params)
+    # Convert the reference grads into pipeline layout and compare leaf-wise.
+    ref_as_pp = to_pipeline_params(ref_grads, pp_model)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_as_pp),
+        jax.tree_util.tree_leaves(pp_grads),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_pipeline_init_params_structure(eight_devices):
+    cfg, _, pp_model, ref_model, params, _, _ = _setup()
+    pp_init = pp_model.init_params(jax.random.PRNGKey(3), seq_len=12)
+    converted = to_pipeline_params(params, pp_model)
+    a = jax.tree_util.tree_structure(pp_init)
+    b = jax.tree_util.tree_structure(converted)
+    assert a == b
+    for l1, l2 in zip(
+        jax.tree_util.tree_leaves(pp_init), jax.tree_util.tree_leaves(converted)
+    ):
+        assert l1.shape == l2.shape
+
+
+def test_pp_train_step_runs(eight_devices):
+    """Fused pp train step: prior sample + pipelined fwd/bwd + Adam, jitted
+    over a ('dp','pp') mesh; loss decreases over a few steps."""
+    cfg_m = TransformerConfig(
+        num_features=1,
+        n_out=16,
+        emsize=32,
+        nhead=4,
+        nhid=64,
+        nlayers=4,
+        attention_impl="dense",
+    )
+    mesh = make_pp_mesh(dp=2, pp=4)
+    pp_model = PipelinedPFN(cfg_m, mesh, num_micro=4)
+    prior = GPPrior(num_features=1)
+    crit = bar_criterion(get_bucket_limits(16, full_range=(-4.0, 4.0)))
+    cfg = TrainConfig(
+        emsize=32, nhid=64, nlayers=4, nhead=4, batch_size=8, bptt=12,
+        lr=3e-3, epochs=1, steps_per_epoch=1, warmup_epochs=1,
+    )
+    tx = optax.adam(cfg.lr)
+    params = pp_model.place_params(pp_model.init_params(jax.random.PRNGKey(0), seq_len=12))
+    state = TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+    step = jax.jit(make_pp_train_step(pp_model, prior, crit, cfg, tx))
+    losses = []
+    key = jax.random.PRNGKey(7)
+    for _ in range(8):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])

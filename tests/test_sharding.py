@@ -32,9 +32,11 @@ def small_cfg(**kw):
 
 def test_mesh_construction(eight_devices):
     mesh = make_mesh()
-    assert mesh.shape == {"dp": 8, "tp": 1}
+    assert mesh.shape == {"dp": 8, "sp": 1, "tp": 1}
     mesh = make_mesh(dp=4, tp=2)
-    assert mesh.shape == {"dp": 4, "tp": 2}
+    assert mesh.shape == {"dp": 4, "sp": 1, "tp": 2}
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2}
 
 
 def test_param_sharding_rules(eight_devices):
@@ -77,3 +79,56 @@ def test_dp_tp_training_runs(eight_devices):
     mesh = make_mesh(dp=4, tp=2)
     res = train(prior, crit, small_cfg(), mesh=mesh)
     assert np.isfinite(res.final_loss)
+
+
+def test_sp_training_matches_single_device(eight_devices):
+    """Sequence-parallel activations (dp=2, sp=2, tp=2): same PRNG keys ->
+    same math as the single-device run, modulo float reassociation."""
+    prior = GPPrior(num_features=1)
+    crit = gaussian_nll_criterion()
+    res_single = train(prior, crit, small_cfg())
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    res_sp = train(prior, crit, small_cfg(), mesh=mesh)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(res_single.params),
+        jax.tree_util.tree_leaves(res_sp.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fsdp_param_sharding_rules(eight_devices):
+    from pfn_tpu.train.loop import build_model
+
+    mesh = make_mesh(dp=4, tp=2)
+    prior = GPPrior(num_features=1)
+    crit = gaussian_nll_criterion()
+    model = build_model(prior, crit, small_cfg())
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=10)
+    shardings = param_sharding(params, mesh, fsdp=True)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    specs = {
+        "/".join(str(getattr(p, "key", p)) for p in path): s.spec
+        for path, s in flat
+    }
+    qkv = [v for k, v in specs.items() if "qkv" in k and k.endswith("kernel")]
+    assert all(spec == jax.sharding.PartitionSpec("dp", "tp") for spec in qkv)
+    outp = [v for k, v in specs.items() if "out_proj" in k and k.endswith("kernel")]
+    assert all(spec == jax.sharding.PartitionSpec("tp", "dp") for spec in outp)
+    # A kernel untouched by tp rules (the x-encoder: (F=1, emsize=32)) must
+    # still shard its larger (divisible) dim over 'dp'.
+    enc = {k: v for k, v in specs.items() if "encoder" in k and k.endswith("kernel")}
+    assert enc and all("dp" in spec for spec in enc.values())
+
+
+def test_fsdp_training_matches_single_device(eight_devices):
+    """ZeRO-3 param sharding must not change the math."""
+    prior = GPPrior(num_features=1)
+    crit = gaussian_nll_criterion()
+    res_single = train(prior, crit, small_cfg())
+    mesh = make_mesh()  # dp=8
+    res_fsdp = train(prior, crit, small_cfg(fsdp=True), mesh=mesh)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(res_single.params),
+        jax.tree_util.tree_leaves(res_fsdp.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
