@@ -25,9 +25,13 @@ Design principles (TPU-first, not a port):
 __version__ = "0.1.0"
 
 from pfn_tpu import distributions, models, ops, parallel, priors, train, utils
-from pfn_tpu import bayesopt, config, data, evals, presentation, registries
+from pfn_tpu import bayesopt, config, data, evals, inference, presentation, registries
+from pfn_tpu.inference import PFNClassifier, PFNRegressor
 
 __all__ = [
+    "PFNClassifier",
+    "PFNRegressor",
+    "inference",
     "bayesopt",
     "config",
     "data",
