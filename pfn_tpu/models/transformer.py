@@ -75,6 +75,13 @@ class TransformerConfig:
     # token construction and after every encoder layer so FFN/LayerNorm run
     # sequence-sharded; attention gathers K/V over 'sp' (XLA SPMD).
     token_sharding: Any = None
+    # Mixture-of-Experts FFN (0 = dense FFN, the reference architecture).
+    # When > 0, every layer's FFN becomes a Switch-style top-1 MoE
+    # (models/moe.py); expert_sharding places the dispatched (B, E, C, D)
+    # tensor over the 'ep' mesh axis for expert parallelism.
+    num_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    expert_sharding: Any = None
 
 
 class MultiheadPFNAttention(nn.Module):
@@ -119,7 +126,8 @@ class MultiheadPFNAttention(nn.Module):
 class PFNEncoderLayer(nn.Module):
     """Post-LN transformer encoder layer with GELU FFN, parity with
     torch.nn.TransformerEncoderLayer(activation='gelu') plus the zero-init of
-    linear2 (transformer.py:50-51)."""
+    linear2 (transformer.py:50-51). With ``num_experts > 0`` the FFN is a
+    Switch-style top-1 MoE (models/moe.py) instead."""
 
     emsize: int
     nhead: int
@@ -127,6 +135,9 @@ class PFNEncoderLayer(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    num_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    expert_sharding: Any = None
 
     @nn.compact
     def __call__(self, x, single_eval_pos, deterministic: bool = True):
@@ -139,15 +150,28 @@ class PFNEncoderLayer(nn.Module):
         )(x, single_eval_pos)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + attn)
-        h = nn.Dense(self.nhid, dtype=self.dtype, name="linear1")(x)
-        h = nn.gelu(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Dense(
-            self.emsize,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,  # zero-init trick
-            name="linear2",
-        )(h)
+        if self.num_experts > 0:
+            from pfn_tpu.models.moe import MoEFFN
+
+            h = MoEFFN(
+                self.emsize,
+                self.nhid,
+                self.num_experts,
+                capacity_factor=self.moe_capacity_factor,
+                dtype=self.dtype,
+                expert_sharding=self.expert_sharding,
+                name="moe",
+            )(x)
+        else:
+            h = nn.Dense(self.nhid, dtype=self.dtype, name="linear1")(x)
+            h = nn.gelu(h)
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.Dense(
+                self.emsize,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.zeros,  # zero-init trick
+                name="linear2",
+            )(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + h)
 
@@ -218,6 +242,9 @@ class PFNTransformer(nn.Module):
                 cfg.dropout,
                 dtype=cfg.dtype,
                 attention_impl=cfg.attention_impl,
+                num_experts=cfg.num_experts,
+                moe_capacity_factor=cfg.moe_capacity_factor,
+                expert_sharding=cfg.expert_sharding,
                 name=f"layer_{i}",
             )(tokens, single_eval_pos, deterministic=deterministic)
             tokens = _constrain(tokens, cfg.token_sharding)
@@ -230,7 +257,10 @@ class PFNTransformer(nn.Module):
         cfg = self.config
         x = jnp.zeros((1, seq_len, cfg.num_features))
         y = jnp.zeros((1, seq_len))
-        return self.init(key, x, y, seq_len // 2)
+        variables = self.init(key, x, y, seq_len // 2)
+        # Drop sown collections (MoE aux losses) — they are per-forward
+        # outputs, not state.
+        return {k: v for k, v in variables.items() if k != "moe_aux"}
 
 
 def num_params(params) -> int:

@@ -31,21 +31,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    dp: int | None = None, tp: int = 1, sp: int = 1, devices=None
+    dp: int | None = None, tp: int = 1, sp: int = 1, ep: int = 1, devices=None
 ) -> Mesh:
-    """Create a ('dp', 'sp', 'tp') mesh. Defaults: all devices data-parallel.
+    """Create a ('dp', 'sp', 'tp', 'ep') mesh. Defaults: all data-parallel.
 
-    ``sp``/``tp`` axes of size 1 are always present (P specs referencing them
-    are then no-ops), so sharding rules are mesh-shape agnostic.
+    Size-1 axes are always present (P specs referencing them are then
+    no-ops), so sharding rules are mesh-shape agnostic. 'ep' is the
+    expert-parallel axis for MoE layers (pfn_tpu.models.moe).
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        assert n % (tp * sp) == 0
-        dp = n // (tp * sp)
-    assert dp * tp * sp == n, f"dp*sp*tp={dp * sp * tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, sp, tp)
-    return Mesh(arr, axis_names=("dp", "sp", "tp"))
+        assert n % (tp * sp * ep) == 0
+        dp = n // (tp * sp * ep)
+    assert dp * tp * sp * ep == n, (
+        f"dp*sp*tp*ep={dp * sp * tp * ep} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(dp, sp, tp, ep)
+    return Mesh(arr, axis_names=("dp", "sp", "tp", "ep"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -60,6 +63,14 @@ def token_sharding(mesh: Mesh) -> NamedSharding | None:
     has no sequence axis (constraint would be a no-op)."""
     if mesh.shape.get("sp", 1) > 1:
         return NamedSharding(mesh, P("dp", "sp", None))
+    return None
+
+
+def expert_sharding(mesh: Mesh) -> NamedSharding | None:
+    """Sharding for the MoE dispatched tensor (B, E, C, D): experts over
+    'ep' (XLA inserts the dispatch/combine all-to-alls), batch over 'dp'."""
+    if mesh.shape.get("ep", 1) > 1:
+        return NamedSharding(mesh, P("dp", "ep", None, None))
     return None
 
 
@@ -81,6 +92,9 @@ def _spec_for(path: tuple, value, fsdp: bool) -> P:
     is_kernel = names[-1] == "kernel"
     is_bias = names[-1] == "bias"
     dp = "dp" if fsdp else None
+    # MoE expert weights carry a leading (E, ...) axis -> shard over 'ep'.
+    if "moe" in joined and names[-1] in ("w1", "w2", "b1", "b2"):
+        return P("ep", *([None] * (value.ndim - 1)))
     for tag in _COL_SHARDED:
         if tag in joined:
             if is_kernel:

@@ -137,6 +137,10 @@ class PipelinedPFN:
             "sequence-parallel token sharding uses a ('dp','sp','tp') mesh; "
             "the pipeline uses ('dp','pp')"
         )
+        assert cfg.num_experts == 0, (
+            "MoE layers sow an aux loss the pipelined stage_apply would "
+            "silently drop — combine ep with dp/tp/sp instead"
+        )
         self.layers_per_stage = cfg.nlayers // self.pp
         self.embed = PFNEmbed(cfg)
         self.stage = PFNEncoderStage(cfg, self.layers_per_stage)

@@ -34,7 +34,12 @@ import optax
 from flax import struct
 
 from pfn_tpu.models.transformer import PFNTransformer, TransformerConfig, num_params
-from pfn_tpu.parallel.mesh import batch_sharding, param_sharding, token_sharding
+from pfn_tpu.parallel.mesh import (
+    batch_sharding,
+    expert_sharding,
+    param_sharding,
+    token_sharding,
+)
 from pfn_tpu.train.losses import Criterion
 from pfn_tpu.utils.profiling import StepTimers
 from pfn_tpu.utils.schedules import cosine_schedule_with_warmup, get_openai_lr
@@ -80,6 +85,11 @@ class TrainConfig:
     fsdp: bool = False
     attention_impl: str = "auto"
     dtype: Any = jnp.float32
+    # Mixture-of-Experts FFN (0 = the reference's dense FFN). The Switch
+    # load-balancing aux loss is weighted into the task loss.
+    num_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
     encoder: Callable | None = None
     y_encoder: Callable | None = None
     pos_encoder: Callable | None = None
@@ -109,6 +119,9 @@ def build_model(
     n_out = criterion.n_out(prior.num_outputs)
     mcfg = TransformerConfig(
         token_sharding=token_sharding(mesh) if mesh is not None else None,
+        num_experts=cfg.num_experts,
+        moe_capacity_factor=cfg.moe_capacity_factor,
+        expert_sharding=expert_sharding(mesh) if mesh is not None else None,
         num_features=prior.num_features,
         n_out=n_out,
         emsize=cfg.emsize,
@@ -160,6 +173,20 @@ def _sample_eval_pos(key, cfg: TrainConfig):
     return jax.random.categorical(key, logits).astype(jnp.int32)
 
 
+def _apply_with_aux(model, cfg: TrainConfig, params, x, y, sep, k_drop):
+    """Forward pass; with MoE layers, also collect the sown Switch
+    load-balancing losses and return them weighted (0.0 otherwise)."""
+    kwargs = dict(
+        deterministic=cfg.dropout == 0.0,
+        rngs={"dropout": k_drop} if cfg.dropout > 0 else None,
+    )
+    if cfg.num_experts > 0:
+        out, mut = model.apply(params, x, y, sep, mutable=["moe_aux"], **kwargs)
+        aux = sum(jnp.asarray(v).sum() for v in jax.tree.leaves(mut["moe_aux"]))
+        return out, cfg.moe_aux_weight * aux
+    return model.apply(params, x, y, sep, **kwargs), 0.0
+
+
 def make_train_step(model, prior, criterion: Criterion, cfg: TrainConfig, tx, mesh=None):
     """Build the single fused jittable step: (state, key) -> (state, metrics)."""
     micro_batch = cfg.batch_size
@@ -176,20 +203,13 @@ def make_train_step(model, prior, criterion: Criterion, cfg: TrainConfig, tx, me
                 (x, y, target_y), data_sharding
             )
         sep = _sample_eval_pos(k_sep, cfg)
-        out = model.apply(
-            params,
-            x,
-            y,
-            sep,
-            deterministic=cfg.dropout == 0.0,
-            rngs={"dropout": k_drop} if cfg.dropout > 0 else None,
-        )
+        out, aux = _apply_with_aux(model, cfg, params, x, y, sep, k_drop)
         losses = criterion.per_position(out, target_y)  # (B, T)
         mask = jnp.broadcast_to(
             jnp.arange(cfg.bptt)[None, :] >= sep, losses.shape
         ).astype(losses.dtype)
         loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-        return loss, sep
+        return loss + aux, sep
 
     def train_step(state: TrainState, key):
         keys = jax.random.split(key, k)
@@ -255,17 +275,13 @@ def make_train_step_from_batch(model, criterion: Criterion, cfg: TrainConfig, tx
                 (x, y, target_y), data_sharding
             )
         sep = _sample_eval_pos(k_sep, cfg)
-        out = model.apply(
-            params, x, y, sep,
-            deterministic=cfg.dropout == 0.0,
-            rngs={"dropout": k_drop} if cfg.dropout > 0 else None,
-        )
+        out, aux = _apply_with_aux(model, cfg, params, x, y, sep, k_drop)
         losses = criterion.per_position(out, target_y)
         mask = jnp.broadcast_to(
             jnp.arange(cfg.bptt)[None, :] >= sep, losses.shape
         ).astype(losses.dtype)
         loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-        return loss, sep
+        return loss + aux, sep
 
     def train_step(state: TrainState, key, xs, ys, target_ys):
         keys = jax.random.split(key, k)

@@ -32,11 +32,13 @@ def small_cfg(**kw):
 
 def test_mesh_construction(eight_devices):
     mesh = make_mesh()
-    assert mesh.shape == {"dp": 8, "sp": 1, "tp": 1}
+    assert mesh.shape == {"dp": 8, "sp": 1, "tp": 1, "ep": 1}
     mesh = make_mesh(dp=4, tp=2)
-    assert mesh.shape == {"dp": 4, "sp": 1, "tp": 2}
+    assert mesh.shape == {"dp": 4, "sp": 1, "tp": 2, "ep": 1}
     mesh = make_mesh(dp=2, sp=2, tp=2)
-    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2}
+    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2, "ep": 1}
+    mesh = make_mesh(dp=2, ep=4)
+    assert mesh.shape == {"dp": 2, "sp": 1, "tp": 1, "ep": 4}
 
 
 def test_param_sharding_rules(eight_devices):
