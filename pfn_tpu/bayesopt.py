@@ -136,6 +136,8 @@ def optimize(
     padded to ``num_init + num_iterations`` so the jitted score function
     compiles once.
     """
+    import numpy as np
+
     M, F = candidates.shape
     N = num_init + num_iterations
     key, sub = jax.random.split(key)
@@ -143,15 +145,19 @@ def optimize(
 
     x_obs = jnp.zeros((N, F), candidates.dtype)
     y_obs = jnp.zeros((N,), jnp.float32)
+    evaluated = np.zeros(M, bool)  # finite pool: never re-spend budget
     for i, idx in enumerate(init_idx):
+        evaluated[int(idx)] = True
         x_obs = x_obs.at[i].set(candidates[idx])
         y_obs = y_obs.at[i].set(objective(candidates[idx]))
 
     score_jit = jax.jit(optimizer.scores)
     for t in range(num_iterations):
         n = num_init + t
-        s = score_jit(x_obs, y_obs, candidates, num_obs=n)
-        pick = int(jnp.argmax(s))
+        s = np.array(score_jit(x_obs, y_obs, candidates, num_obs=n))
+        s[evaluated] = -np.inf
+        pick = int(s.argmax())
+        evaluated[pick] = True
         x_new = candidates[pick]
         x_obs = x_obs.at[n].set(x_new)
         y_obs = y_obs.at[n].set(objective(x_new))

@@ -32,10 +32,13 @@ class CriterionConfig:
 
 @dataclasses.dataclass
 class MeshConfig:
-    """dp=None means "all remaining devices"; dp=1, tp=1 disables the mesh."""
+    """dp=None means "all remaining devices"; enabled=False disables the
+    mesh. sp/ep are the sequence- and expert-parallel axes."""
 
     dp: int | None = None
     tp: int = 1
+    sp: int = 1
+    ep: int = 1
     enabled: bool = False
 
 
@@ -155,6 +158,7 @@ def build(cfg: ExperimentConfig):
         import jax
 
         n = len(jax.devices())
-        dp = cfg.mesh.dp or max(1, n // cfg.mesh.tp)
-        mesh = make_mesh(dp=dp, tp=cfg.mesh.tp)
+        denom = cfg.mesh.tp * cfg.mesh.sp * cfg.mesh.ep
+        dp = cfg.mesh.dp or max(1, n // denom)
+        mesh = make_mesh(dp=dp, tp=cfg.mesh.tp, sp=cfg.mesh.sp, ep=cfg.mesh.ep)
     return prior, criterion, train_cfg, mesh

@@ -16,6 +16,7 @@ from pfn_tpu.native.cache import (
     BatchCacheWriter,
     CachedPrior,
     NumpyBatchCacheReader,
+    PrefetchIterator,
     native_available,
     write_prior_cache,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "BatchCacheWriter",
     "CachedPrior",
     "NumpyBatchCacheReader",
+    "PrefetchIterator",
     "native_available",
     "write_prior_cache",
 ]

@@ -294,13 +294,62 @@ class CachedPrior:
             jnp.asarray(rec["target_y"]),
         )
 
-    def training_iter(self, seed: int = 0):
+    def training_iter(self, seed: int = 0, prefetch: int = 0):
         """Infinite ``(x, y, target_y)`` iterator over random cached batches —
-        plug into ``pfn_tpu.train.train(..., data_iter=...)``."""
+        plug into ``pfn_tpu.train.train(..., data_iter=...)``. ``prefetch > 0``
+        wraps it in a background-thread :class:`PrefetchIterator`."""
         import numpy as np
 
-        rng = np.random.RandomState(seed)
-        n = len(self.reader)
-        while True:
-            rec = self.reader.record(int(rng.randint(n)))
-            yield rec["x"], rec["y"], rec["target_y"]
+        def gen():
+            rng = np.random.RandomState(seed)
+            n = len(self.reader)
+            while True:
+                rec = self.reader.record(int(rng.randint(n)))
+                yield rec["x"], rec["y"], rec["target_y"]
+
+        return PrefetchIterator(gen(), depth=prefetch) if prefetch else gen()
+
+
+class PrefetchIterator:
+    """Background-thread prefetch: overlaps host IO (mmap record reads,
+    numpy staging) with device compute in the host-fed train path — the
+    role torch's DataLoader workers play for the reference, without
+    processes (the mmap read is the C++ fast path; the thread only hides
+    its latency behind the device step)."""
+
+    def __init__(self, it, depth: int = 2):
+        import queue
+        import threading
+
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+
+        def worker():
+            try:
+                for item in it:
+                    if self._stop.is_set():
+                        return
+                    self._queue.put(item)
+            finally:
+                self._queue.put(_SENTINEL)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is _SENTINEL:
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        # Drain so the worker unblocks from a full queue and exits.
+        while not self._queue.empty():
+            self._queue.get_nowait()
+
+
+_SENTINEL = object()

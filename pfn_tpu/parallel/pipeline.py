@@ -161,24 +161,6 @@ class PipelinedPFN:
         decoder = self.decoder_mod.init(k_dec, tokens)
         return {"embed": embed, "stages": stages, "decoder": decoder}
 
-    def param_shardings(self):
-        """NamedShardings: stage params sharded over 'pp' (leading axis),
-        embed/decoder replicated."""
-        rep = NamedSharding(self.mesh, P())
-        stage_sh = NamedSharding(self.mesh, P("pp"))
-        return {
-            "embed": jax.tree.map(lambda _: rep, self._tree_struct("embed")),
-            "stages": jax.tree.map(lambda _: stage_sh, self._tree_struct("stages")),
-            "decoder": jax.tree.map(lambda _: rep, self._tree_struct("decoder")),
-        }
-
-    def _tree_struct(self, which):
-        if not hasattr(self, "_struct_cache"):
-            self._struct_cache = jax.eval_shape(
-                lambda: self.init_params(jax.random.PRNGKey(0))
-            )
-        return self._struct_cache[which]
-
     def place_params(self, params):
         sh = {
             "embed": NamedSharding(self.mesh, P()),

@@ -101,3 +101,29 @@ def test_cached_prior_trains(tmp_path):
     x, y, t = cached.sample(jax.random.PRNGKey(1), 4, 8)
     out = model.apply(params, x, y, 4)
     assert out.shape == (4, 8, 1)
+
+
+def test_prefetch_iterator_preserves_stream(tmp_path):
+    """PrefetchIterator yields the same records, in order, as the bare
+    iterator with the same seed, and shuts down cleanly."""
+    from pfn_tpu.priors.gp import GPPrior
+
+    path = str(tmp_path / "gp2.pfnc")
+    write_prior_cache(path, GPPrior(num_features=1), num_batches=4,
+                      batch_size=2, seq_len=6)
+    cached = CachedPrior(path)
+    plain = cached.training_iter(seed=9)
+    pre = cached.training_iter(seed=9, prefetch=2)
+    for _ in range(10):
+        a = next(plain)
+        b = next(pre)
+        for u, v in zip(a, b):
+            np.testing.assert_array_equal(u, v)
+    pre.close()
+
+
+def test_prefetch_iterator_finite_stream():
+    from pfn_tpu.native import PrefetchIterator
+
+    it = PrefetchIterator(iter(range(5)), depth=2)
+    assert list(it) == [0, 1, 2, 3, 4]
