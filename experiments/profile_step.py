@@ -91,10 +91,6 @@ def main():
     state = TrainState(params=params, opt_state=opt_state,
                        step=jnp.zeros((), jnp.int32))
 
-    def run_step(state, k):
-        state, m = step(state, k)
-        return state, m
-
     # manual loop timing with state threading
     for i in range(3):
         key, sub = jax.random.split(key)

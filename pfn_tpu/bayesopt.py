@@ -140,6 +140,10 @@ def optimize(
 
     M, F = candidates.shape
     N = num_init + num_iterations
+    assert N <= M, (
+        f"budget num_init+num_iterations={N} exceeds the candidate pool "
+        f"(M={M}) — every point would be evaluated before the loop ends"
+    )
     key, sub = jax.random.split(key)
     init_idx = jax.random.permutation(sub, M)[:num_init]
 

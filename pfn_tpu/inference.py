@@ -30,9 +30,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from pfn_tpu.evals.harness import pfn_predict
 from pfn_tpu.priors.transforms import normalize_by_used_features
 from pfn_tpu.train.losses import Criterion
+
+_pfn_predict_jit = functools.partial(jax.jit, static_argnums=(0,))(pfn_predict)
 
 
 @dataclasses.dataclass
@@ -118,7 +122,9 @@ class _PFNEstimator:
         Xq = np.asarray(Xq, np.float32)
         assert Xq.ndim == 2, "queries must be (n_query, n_features)"
         x, y, sep = self._pack(Xq)
-        out = pfn_predict(
+        # Jitted with the model static: repeated predicts at the same shapes
+        # reuse one compiled program instead of eager per-op dispatch.
+        out = _pfn_predict_jit(
             self.model, self.params, jnp.asarray(x), jnp.asarray(y), sep
         )
         return out[0, sep:]
@@ -128,7 +134,16 @@ class PFNRegressor(_PFNEstimator):
     """Posterior-predictive regression from a bar-head or Gaussian-head PFN."""
 
     def predict(self, Xq, return_std: bool = False):
+        if self.criterion.kind not in ("gaussian", "bar", "full_bar", "mse"):
+            raise ValueError(
+                f"criterion {self.criterion.kind!r} is not a regression head "
+                "— use PFNClassifier for bce/ce models"
+            )
         logits = self._logits(Xq)
+        if self.criterion.kind == "mse":
+            if return_std:
+                raise ValueError("an MSE head carries no uncertainty")
+            return np.asarray(logits[..., 0])
         if self.criterion.kind == "gaussian":
             mean = logits[..., 0]
             var = jnp.maximum(jnp.abs(logits[..., 1]), 1e-6)
@@ -200,9 +215,12 @@ class PFNClassifier(_PFNEstimator):
         if self.criterion.kind == "bce":
             p1 = jax.nn.sigmoid(logits[..., 0])
             probs = jnp.stack([1.0 - p1, p1], axis=-1)
-        else:
-            probs = jax.nn.softmax(logits, axis=-1)
-        return np.asarray(probs[:, : max(len(self.classes_), 2)])
+            return np.asarray(probs[:, : max(len(self.classes_), 2)])
+        # CE head: mask classes absent from the context BEFORE the softmax so
+        # the returned rows are a proper distribution over observed classes.
+        k = max(len(self.classes_), 2)
+        probs = jax.nn.softmax(logits[:, :k], axis=-1)
+        return np.asarray(probs)
 
     def predict(self, Xq) -> np.ndarray:
         codes = self.predict_proba(Xq).argmax(axis=-1)

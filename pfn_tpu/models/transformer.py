@@ -151,6 +151,10 @@ class PFNEncoderLayer(nn.Module):
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + attn)
         if self.num_experts > 0:
+            assert self.dropout == 0.0, (
+                "MoEFFN has no counterpart to the dense path's FFN-internal "
+                "dropout — train MoE models with dropout=0"
+            )
             from pfn_tpu.models.moe import MoEFFN
 
             h = MoEFFN(

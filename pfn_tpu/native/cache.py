@@ -323,6 +323,8 @@ class PrefetchIterator:
 
         self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
+        self._error: BaseException | None = None
+        self._done = False
 
         def worker():
             try:
@@ -330,6 +332,8 @@ class PrefetchIterator:
                     if self._stop.is_set():
                         return
                     self._queue.put(item)
+            except BaseException as e:  # re-raised at the consumer
+                self._error = e
             finally:
                 self._queue.put(_SENTINEL)
 
@@ -340,8 +344,13 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        if self._done:
+            raise StopIteration
         item = self._queue.get()
         if item is _SENTINEL:
+            self._done = True
+            if self._error is not None:
+                raise self._error  # surface the worker's failure, not a bare stop
             raise StopIteration
         return item
 

@@ -144,3 +144,41 @@ def test_from_checkpoint(tmp_path):
         direct.predict(np.asarray(x[0, 8:])),
         atol=1e-5,
     )
+
+
+def test_ce_proba_renormalized_over_observed_classes():
+    """A 10-way CE head with only 3 classes in context must return a proper
+    3-way distribution (masked-softmax renormalization)."""
+    from pfn_tpu.train import ce_criterion
+    from pfn_tpu.train.loop import build_model
+
+    prior = GPPrior(num_features=2)
+    crit = ce_criterion(10)
+    cfg = _quick_cfg(epochs=1, steps_per_epoch=1)
+    model = build_model(prior, crit, cfg)
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=12)
+    clf = PFNClassifier(model, params, crit)
+    rng = np.random.RandomState(0)
+    X = rng.randn(12, 2).astype(np.float32)
+    y = np.array([0, 1, 2] * 3)
+    clf.fit(X[:9], y)
+    proba = clf.predict_proba(X[9:])
+    assert proba.shape == (3, 3)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_regressor_rejects_classifier_heads():
+    import pytest
+
+    from pfn_tpu.train import bce_criterion
+    from pfn_tpu.train.loop import build_model
+
+    prior = GPPrior(num_features=1)
+    crit = bce_criterion()
+    cfg = _quick_cfg(epochs=1, steps_per_epoch=1)
+    model = build_model(prior, crit, cfg)
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=12)
+    reg = PFNRegressor(model, params, crit)
+    reg.fit(np.zeros((4, 1), np.float32), np.zeros(4, np.float32))
+    with pytest.raises(ValueError, match="not a regression head"):
+        reg.predict(np.zeros((2, 1), np.float32))

@@ -127,3 +127,20 @@ def test_prefetch_iterator_finite_stream():
 
     it = PrefetchIterator(iter(range(5)), depth=2)
     assert list(it) == [0, 1, 2, 3, 4]
+
+
+def test_prefetch_iterator_propagates_worker_error():
+    import pytest
+
+    from pfn_tpu.native import PrefetchIterator
+
+    def gen():
+        yield 1
+        raise RuntimeError("corrupt record")
+
+    it = PrefetchIterator(gen(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="corrupt record"):
+        next(it)
+    with pytest.raises(StopIteration):  # and stays exhausted, never hangs
+        next(it)
