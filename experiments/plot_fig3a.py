@@ -1,0 +1,82 @@
+"""Regenerate docs/results/fig3a_curves.png from the fig3a_*ep.json curves.
+
+PFN NLL vs context size at bptt=2010 for each completed training schedule,
+against the float64 exact-GP oracle at the sampler's effective noise (the
+honest ground truth — docs/PERF.md "Numerical-fidelity note"). Epoch count
+is an ordered magnitude, so the curves wear one blue ramp light→dark
+(ordinal steps); the oracle is neutral ink, dashed.
+
+    python experiments/plot_fig3a.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+RESULTS = os.path.join(os.path.dirname(__file__), "..", "docs", "results")
+# Ordinal blue ramp, light -> dark (pre-validated steps 250/400/550/700).
+RAMP = ["#86b6ef", "#3987e5", "#1c5cab", "#0d366b"]
+INK = "#3d3d3a"
+MUTED = "#73726c"
+MIN_CTX = 20  # the weighted eval-pos sampler barely trains ctx<20 at T=2010
+
+
+def main():
+    runs = []
+    for path in sorted(glob.glob(os.path.join(RESULTS, "fig3a_*ep.json"))):
+        with open(path) as f:
+            d = json.load(f)
+        runs.append(d)
+    runs.sort(key=lambda d: d["epochs"])
+    assert runs, "no fig3a_*ep.json found"
+
+    fig, ax = plt.subplots(figsize=(7.2, 4.2), dpi=160)
+    base = runs[-1]
+    pos = [p for p in base["positions"] if p >= MIN_CTX]
+    sel = [i for i, p in enumerate(base["positions"]) if p >= MIN_CTX]
+    oracle = [base["oracle_nll_noise1e-3"][i] for i in sel]
+    ax.plot(
+        pos, oracle, "--", color=INK, lw=2,
+        label="exact GP posterior (f64 oracle)", zorder=5,
+    )
+
+    colors = RAMP[-len(runs):] if len(runs) <= len(RAMP) else RAMP
+    for d, c in zip(runs, colors):
+        s = [i for i, p in enumerate(d["positions"]) if p >= MIN_CTX]
+        ax.plot(
+            [d["positions"][i] for i in s],
+            [d["pfn_nll"][i] for i in s],
+            "-o", color=c, lw=2, ms=4,
+            label=f"PFN, {d['epochs']} epochs",
+        )
+
+    ax.set_xscale("log")
+    ax.set_xlabel("context size (datapoints conditioned on)", color=INK)
+    ax.set_ylabel("eval NLL (nats)", color=INK)
+    ax.set_title(
+        "Amortized posterior converges to the exact GP posterior "
+        "(bptt=2010, Fig-3a protocol)",
+        color=INK, fontsize=11,
+    )
+    ax.grid(True, which="both", color="#e8e6e3", lw=0.6, zorder=0)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    for spine in ("left", "bottom"):
+        ax.spines[spine].set_color(MUTED)
+    ax.tick_params(colors=MUTED)
+    ax.legend(frameon=False, fontsize=9, labelcolor=INK)
+    fig.tight_layout()
+    out = os.path.join(RESULTS, "fig3a_curves.png")
+    fig.savefig(out)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
