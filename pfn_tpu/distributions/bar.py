@@ -15,8 +15,12 @@ Intentional deviations from the reference (documented per SURVEY.md §7):
   * ``quantile`` is fully vectorized (the reference loops over rows in Python,
     bar_distribution.py:57-60) and handles the ``idx == 0`` edge correctly
     (the reference reads ``cumprobs[-1]`` through negative indexing there).
-  * ``nll`` takes an optional ``where`` mask so it composes with the traced
-    ``single_eval_pos`` of the TPU train step (the reference slices targets).
+  * ``nll`` scores every position; the train step masks positions >= the
+    traced ``single_eval_pos`` itself (the reference slices targets instead,
+    which would break static shapes under jit).
+  * ``get_bucket_limits`` repairs duplicate equal-mass borders (possible
+    when the y sample has repeated values) instead of emitting zero-width
+    buckets whose log-width is -inf in the NLL.
 """
 
 from __future__ import annotations
@@ -308,6 +312,14 @@ def get_bucket_limits(
         bucket_limits = np.concatenate(
             [[full_range[0]], bucket_limits, [full_range[1]]]
         )
+        # Repeated y values (min-max-normalized priors emit exact 0/1 spikes)
+        # produce duplicate borders = zero-width buckets = -inf log-width in
+        # the NLL. Spread duplicates a minimal epsilon apart, monotonically.
+        eps = max(1e-6, 1e-7 * (full_range[1] - full_range[0]))
+        for i in range(1, len(bucket_limits)):
+            if bucket_limits[i] <= bucket_limits[i - 1]:
+                bucket_limits[i] = bucket_limits[i - 1] + eps
+        full_range = (full_range[0], float(bucket_limits[-1]))
     else:
         class_width = (full_range[1] - full_range[0]) / num_outputs
         bucket_limits = np.concatenate(

@@ -216,7 +216,14 @@ def eval_mcmc(
 def eval_transformer(X, y, model, params, training_samples_n: int):
     """Amortized inference: ONE forward over all eval points for all datasets
     (reference :270-291). X z-scored by train-prefix stats. Returns
-    (acc (B,), nll (B,), elapsed_seconds)."""
+    (acc (B,), nll (B,), elapsed_seconds).
+
+    Known protocol quirk, kept for parity: the ModulePrior the PFN trains on
+    z-scores x over the FULL sequence (module.py, like reference
+    priors/pyro.py:20-32), while this eval normalizes by the first
+    ``training_samples_n`` rows (reference :277-279) — at very small context
+    (n=2..10) the prefix stats are noisy and depress the PFN curve relative
+    to its training distribution. The reference has the identical skew."""
     X = jnp.asarray(X)
     y = jnp.asarray(y)
     mean = X[:, :training_samples_n].mean(axis=1, keepdims=True)
@@ -240,6 +247,21 @@ def eval_transformer(X, y, model, params, training_samples_n: int):
 # Sweep drivers with .npy caching (:294-351)
 # ---------------------------------------------------------------------------
 
+def _sweep_cache_tag(X, y, model, extra) -> str:
+    """Content hash over the eval data + model spec + sweep parameters —
+    the cache key must cover everything that changes the numbers (the
+    reference keys only on method+steps, :296-300, a stale-hit hazard when
+    rerunning with a different model or dataset)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(np.asarray(X, np.float32)).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(y, np.float32)).tobytes())
+    h.update(repr(model).encode())
+    h.update(repr(extra).encode())
+    return h.hexdigest()[:10]
+
+
 def training_steps_sweep(
     method: str,
     X,
@@ -252,9 +274,10 @@ def training_steps_sweep(
 ):
     """Quality-vs-compute sweep over inference steps (reference :294-319)."""
     os.makedirs(path_interfix, exist_ok=True)
+    tag = _sweep_cache_tag(X, y, model, training_samples_n)
     results = {}
     for s in steps_grid:
-        path = f"{path_interfix}/results_{method}_training_steps_{s}.npy"
+        path = f"{path_interfix}/results_{method}_training_steps_{s}_{tag}.npy"
         if os.path.isfile(path) and not overwrite:
             results[s] = tuple(np.load(path, allow_pickle=True))
             continue
@@ -284,9 +307,13 @@ def training_samples_sweep(
     """Quality-vs-context-size sweep (reference :322-351)."""
     os.makedirs(path_interfix, exist_ok=True)
     steps_ = steps or (1024 if method == "svi" else 512)
+    tag = _sweep_cache_tag(X, y, model, steps_)
     results = {}
     for n in evaluation_points:
-        path = f"{path_interfix}/results_{method}_{steps_}_training_samples_{n}.npy"
+        path = (
+            f"{path_interfix}/results_{method}_{steps_}_"
+            f"training_samples_{n}_{tag}.npy"
+        )
         if os.path.isfile(path) and not overwrite:
             results[n] = tuple(np.load(path, allow_pickle=True))
             continue

@@ -132,7 +132,7 @@ def logistic_metric(x, y, test_x, test_y, cat_features):
     }
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        clf = GridSearchCV(LogisticRegression(), grid, cv=min(CV, len(x) // 2))
+        clf = GridSearchCV(LogisticRegression(), grid, cv=max(2, min(CV, len(x) // 2)))
         clf.fit(x, y.astype(int))
         pred = clf.predict_proba(test_x)[:, 1]
     return metric_used(test_y, pred), pred
@@ -143,8 +143,8 @@ def knn_metric(x, y, test_x, test_y, cat_features):
     from sklearn import neighbors
     from sklearn.model_selection import GridSearchCV
 
-    grid = {"n_neighbors": np.arange(1, min(6, len(y) - 1))}
-    clf = GridSearchCV(neighbors.KNeighborsClassifier(), grid, cv=min(CV, len(x) // 2))
+    grid = {"n_neighbors": np.arange(1, max(2, min(6, len(y) - 1)))}
+    clf = GridSearchCV(neighbors.KNeighborsClassifier(), grid, cv=max(2, min(CV, len(x) // 2)))
     clf.fit(x, y.astype(int))
     pred = clf.predict_proba(test_x)[:, 1]
     return metric_used(test_y, pred), pred
@@ -167,7 +167,7 @@ def gp_metric(x, y, test_x, test_y, cat_features):
     }
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        clf = GridSearchCV(GaussianProcessClassifier(), grid, cv=min(CV, len(x) // 2))
+        clf = GridSearchCV(GaussianProcessClassifier(), grid, cv=max(2, min(CV, len(x) // 2)))
         clf.fit(x, y.astype(int))
         pred = clf.predict_proba(test_x)[:, 1]
     return metric_used(test_y, pred), pred
@@ -301,9 +301,15 @@ BASELINES = {
 
 
 def batch_pred(metric_function, wx, wy, cat_feats, start):
-    """Run a baseline per window with window z-scoring (tabular.py:309-323)."""
+    """Run a baseline per window with window z-scoring (tabular.py:309-323).
+
+    Windows whose query suffix contains a single class are skipped (AUC is
+    undefined there) — same guard as the PFN branch; the reference would
+    crash inside metric_used instead."""
     metrics, outputs = [], []
     for i in range(len(wx)):
+        if len(np.unique(wy[i][start:])) < 2:
+            continue
         x = wx[i]
         mean = x[:start].mean(axis=0)
         std = x[:start].std(axis=0) + 1e-6
@@ -361,8 +367,12 @@ def evaluate(
                     model_or_metric, params, X, y, bptt, pos,
                     max_samples=max_samples, num_features=num_features,
                 )
+                # Mean of per-window AUCs — the same statistic the baseline
+                # branch reports (reference tabular.py:301-306 computes
+                # per-window metrics on both paths), so the comparison is
+                # apples-to-apples.
                 ds_result[f"{name}_mean_metric_at_{pos}"] = float(
-                    metric_used(ys.flatten(), outputs.flatten())
+                    np.asarray(aucs).mean()
                 )
             else:
                 aucs, outputs, ys = evaluate_position_baseline(

@@ -90,3 +90,15 @@ def sample_y_for_buckets(
         lambda key: prior.sample(key, batch, seq_len)
     )(jax.random.PRNGKey(seed))
     return target_y.reshape(-1)
+
+
+def default_group_size(batch_size: int, divisor: int) -> int:
+    """Largest divisor of ``batch_size`` that is <= max(batch_size // divisor,
+    1) — the reference's ``B // divisor`` group-size heuristic
+    (fast_gp_mix.py:76, mlp.py:82-84, pyro.py:10) made safe for batch sizes
+    the raw quotient does not divide (e.g. B=100, divisor=16 -> 6 -> here 5)."""
+    target = max(batch_size // divisor, 1)
+    for g in range(target, 0, -1):
+        if batch_size % g == 0:
+            return g
+    return 1

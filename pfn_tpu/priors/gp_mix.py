@@ -47,7 +47,9 @@ class GPMixPrior:
     equidistant_x: bool = False
 
     def _group_size(self, batch_size: int) -> int:
-        g = self.batch_size_per_gp_sample or max(batch_size // 10, 1)
+        from pfn_tpu.priors.base import default_group_size
+
+        g = self.batch_size_per_gp_sample or default_group_size(batch_size, 10)
         assert batch_size % g == 0, (
             "batch_size must be divisible by batch_size_per_gp_sample"
         )

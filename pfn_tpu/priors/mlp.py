@@ -202,8 +202,33 @@ class MLPPrior:
             x = normalize_by_used_features(x, n_used.astype(jnp.float32), F)
         return x, y
 
+    def _check_causal_capacity(self):
+        """Causal mode draws x columns from VALID (active-layer, active-unit)
+        hidden activations; a network sampled at the spec minima must still
+        have >= num_features of them, else inf-scored garbage columns would
+        be selected silently."""
+        if not self.is_causal:
+            return
+        min_depth = getattr(self.num_layers, "low", None)
+        min_width = getattr(self.hidden_dim, "low", None)
+        if isinstance(self.num_layers, Constant):
+            min_depth = int(self.num_layers.value)
+        if isinstance(self.hidden_dim, Constant):
+            min_width = int(self.hidden_dim.value)
+        if min_depth is None or min_width is None:
+            return  # custom spec without bounds — caller's responsibility
+        worst = max(0, (int(min_depth) - 2)) * int(min_width)
+        assert worst >= self.num_features, (
+            f"causal mode: the smallest sampled network has only {worst} "
+            f"hidden activations (< num_features={self.num_features}); raise "
+            "num_layers/hidden_dim lower bounds or lower num_features"
+        )
+
     def sample(self, key: jax.Array, batch_size: int, seq_len: int):
-        g = self.batch_size_per_sample or max(batch_size // 8, 1)
+        from pfn_tpu.priors.base import default_group_size
+
+        self._check_causal_capacity()
+        g = self.batch_size_per_sample or default_group_size(batch_size, 8)
         assert batch_size % g == 0
         num_groups = batch_size // g
         group_keys = jax.random.split(key, num_groups)

@@ -32,7 +32,9 @@ class ModulePrior:
     normalize_x: bool = True
 
     def sample(self, key: jax.Array, batch_size: int, seq_len: int):
-        g = self.batch_size_per_model or max(batch_size // 16, 1)
+        from pfn_tpu.priors.base import default_group_size
+
+        g = self.batch_size_per_model or default_group_size(batch_size, 16)
         assert batch_size % g == 0
         num_models = batch_size // g
         k_models, k_data = jax.random.split(key)

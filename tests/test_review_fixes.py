@@ -141,3 +141,76 @@ def test_native_cache_meta_alignment(tmp_path):
         np.testing.assert_array_equal(rec[k], data[k])
     # Zero-copy pointer is float-aligned.
     assert rec["x"].ctypes.data % 4 == 0
+
+
+# ---- round-continuation review fixes --------------------------------------
+
+def test_bucket_limits_duplicate_ys_yield_strictly_increasing_borders():
+    """Repeated y values (min-max-normalized priors emit 0/1 spikes) must not
+    produce zero-width buckets (-inf log-width in the NLL)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pfn_tpu.distributions import get_bucket_limits
+    from pfn_tpu.train import bar_criterion
+
+    ys = np.concatenate([np.zeros(200), np.random.RandomState(0).rand(600), np.ones(200)])
+    borders = np.asarray(get_bucket_limits(100, ys=ys))
+    assert (np.diff(borders) > 0).all()
+    crit = bar_criterion(jnp.asarray(borders))
+    logits = jnp.zeros((2, 5, 100))
+    targets = jnp.asarray([[0.0, 0.5, 1.0, 0.0, 1.0]] * 2)
+    nll = crit.per_position(logits, targets)
+    assert np.isfinite(np.asarray(nll)).all()
+
+
+def test_default_group_size_divides():
+    from pfn_tpu.priors.base import default_group_size
+
+    assert default_group_size(100, 16) == 5  # 100//16=6 doesn't divide
+    assert default_group_size(25, 10) == 1   # 25//10=2 doesn't divide
+    assert default_group_size(64, 16) == 4
+    assert default_group_size(3, 16) == 1
+
+
+def test_group_priors_accept_odd_batch_sizes():
+    import jax
+    import numpy as np
+    from pfn_tpu.priors.gp_mix import GPMixPrior
+    from pfn_tpu.priors.mlp import MLPPrior
+
+    x, y, _ = GPMixPrior(num_features=1).sample(jax.random.PRNGKey(0), 25, 6)
+    assert x.shape == (25, 6, 1) and np.isfinite(np.asarray(y)).all()
+    x, y, _ = MLPPrior(num_features=2).sample(jax.random.PRNGKey(0), 13, 6)
+    assert x.shape == (13, 6, 2)
+
+
+def test_mlp_causal_capacity_guard():
+    import jax
+    import pytest
+    from pfn_tpu.priors.hyper import UniformInt
+    from pfn_tpu.priors.mlp import MLPPrior
+
+    bad = MLPPrior(
+        num_features=64, is_causal=True,
+        num_layers=UniformInt(3, 6), hidden_dim=UniformInt(16, 32),
+    )  # worst case (3-2)*16 = 16 < 64
+    with pytest.raises(AssertionError, match="causal mode"):
+        bad.sample(jax.random.PRNGKey(0), 8, 6)
+
+
+def test_batch_pred_skips_single_class_windows():
+    import numpy as np
+    from pfn_tpu.evals.tabular import batch_pred
+
+    def metric_fn(x, y, tx, ty, cats):
+        assert len(np.unique(ty)) >= 2, "guard failed"
+        return 0.5, np.zeros(len(ty))
+
+    wx = np.random.RandomState(0).randn(3, 10, 2).astype(np.float32)
+    wy = np.stack([
+        np.r_[np.zeros(5), np.r_[1, 0, 1, 0, 1]],  # mixed suffix: kept
+        np.r_[np.ones(5), np.ones(5)],             # single-class suffix: skipped
+        np.r_[np.ones(5), np.r_[0, 1, 0, 1, 0]],   # mixed suffix: kept
+    ])
+    metrics, outputs = batch_pred(metric_fn, wx, wy, [], start=5)
+    assert len(metrics) == 2
