@@ -3,10 +3,11 @@
 Beyond the reference (which has a single dense FFN per layer,
 transformer.py:17-23): an optional MoE replacement for the encoder FFN that
 scales parameter count without scaling per-token FLOPs, sharded over an
-'ep' mesh axis. This is the TPU-native MoE idiom: dispatch/combine are
-einsums against a one-hot dispatch tensor, expert weights carry a leading
-(E, ...) axis sharded over 'ep', and XLA inserts the all-to-alls from the
-sharding constraints — no hand-written communication.
+'ep' mesh axis. Dispatch/combine are scatter-add / gather against per-token
+slot indices (O(B*E*C*D) buffers — a dense one-hot dispatch tensor would be
+~capacity_factor*B*T^2 floats and OOM at bptt=2010); expert weights carry a
+leading (E, ...) axis sharded over 'ep', and XLA inserts the all-to-alls
+from the sharding constraints — no hand-written communication.
 
 Routing: top-1 (Switch Transformer) with capacity truncation. Tokens over
 an expert's capacity fall through on the residual path (output 0 for the
@@ -47,6 +48,7 @@ class MoEFFN(nn.Module):
     def __call__(self, x):
         B, T, D = x.shape
         E = self.num_experts
+        assert D == self.emsize, (D, self.emsize)
         C = max(1, int(self.capacity_factor * T / E))
 
         router = nn.Dense(
@@ -61,13 +63,8 @@ class MoEFFN(nn.Module):
 
         onehot = jax.nn.one_hot(expert_idx, E, dtype=jnp.float32)  # (B, T, E)
         # Position of each token within its expert's queue; drop past capacity.
-        pos = jnp.cumsum(onehot, axis=1) * onehot - 1.0  # (B, T, E)
-        keep = (pos >= 0) & (pos < C)
-        dispatch = onehot * keep  # (B, T, E)
-        pos_onehot = jax.nn.one_hot(
-            jnp.clip(pos, 0, C - 1).astype(jnp.int32), C, dtype=jnp.float32
-        )  # (B, T, E, C)
-        dmask = dispatch[..., None] * pos_onehot  # (B, T, E, C)
+        pos = jnp.sum(jnp.cumsum(onehot, axis=1) * onehot, axis=-1) - 1.0  # (B, T)
+        keep = (pos >= 0) & (pos < C)  # (B, T)
 
         # Load-balancing aux loss (Switch eq. 4): E * sum_e f_e * p_e.
         frac_routed = jnp.mean(onehot, axis=(0, 1))  # (E,)
@@ -76,8 +73,18 @@ class MoEFFN(nn.Module):
             "moe_aux", "load_balance", E * jnp.sum(frac_routed * mean_prob)
         )
 
+        # Scatter/gather dispatch: O(B*T) index math + O(B*E*C*D) buffers —
+        # no dense (B, T, E, C) one-hot (which is ~capacity_factor*B*T^2
+        # floats and OOMs at bptt=2010).
+        slot = expert_idx * C + jnp.clip(pos, 0, C - 1).astype(jnp.int32)
+        slot = jnp.where(keep, slot, E * C)  # dropped tokens -> overflow row
         xd = x.astype(self.dtype)
-        x_e = jnp.einsum("btec,btd->becd", dmask.astype(self.dtype), xd)
+
+        def scatter_one(xb, sb):
+            buf = jnp.zeros((E * C + 1, D), self.dtype)
+            return buf.at[sb].add(xb)[:-1]  # drop the overflow row
+
+        x_e = jax.vmap(scatter_one)(xd, slot).reshape(B, E, C, D)
 
         x_e = _constrain(x_e, self.expert_sharding)
 
@@ -101,7 +108,11 @@ class MoEFFN(nn.Module):
 
         y_e = _constrain(y_e, self.expert_sharding)
 
-        combine = dmask * gate[..., None, None]  # (B, T, E, C)
-        return jnp.einsum(
-            "btec,becd->btd", combine.astype(self.dtype), y_e
-        )
+        # Combine: gather each token's expert output from its slot; dropped
+        # tokens contribute 0 (they ride the residual connection).
+        y_flat = y_e.reshape(B, E * C, D)
+        gathered = jnp.take_along_axis(
+            y_flat, jnp.clip(slot, 0, E * C - 1)[..., None], axis=1
+        )  # (B, T, D)
+        scale = (gate * keep).astype(self.dtype)[..., None]
+        return gathered * scale

@@ -38,15 +38,20 @@ from pfn_tpu.ops.attention import pfn_attention
 
 
 def _constrain(x, sharding):
-    """Apply a sharding constraint if one is configured and every sharded dim
-    divides evenly (else no-op — e.g. the B=1 tracer in init_params)."""
+    """Apply a sharding constraint if one is configured. Skipped only when a
+    sharded dim is SMALLER than its mesh axis (the B=1 tracer in
+    init_params — unshardable); merely-uneven dims still get the constraint
+    (GSPMD pads). Training-time divisibility is validated up front by
+    train() with a clear error, so this never silently degrades a real run."""
     if sharding is None:
         return x
     mesh_shape = sharding.mesh.shape
     for dim, names in zip(x.shape, sharding.spec):
+        axis = 1
         for n in (names,) if isinstance(names, str) else (names or ()):
-            if dim % mesh_shape[n] != 0:
-                return x
+            axis *= mesh_shape[n]
+        if dim < axis:
+            return x
     return jax.lax.with_sharding_constraint(x, sharding)
 
 

@@ -141,6 +141,49 @@ def build_model(
     return PFNTransformer(mcfg)
 
 
+def _active_param_count(params, num_experts: int) -> int:
+    """Dense-equivalent parameter count for the auto-LR rule: MoE expert
+    weights count at 1/E (only one expert is active per token, Switch-style)
+    so enabling experts does not silently depress get_openai_lr."""
+    if num_experts <= 1:
+        return num_params(params)
+    total = 0
+
+    def leaf(path, v):
+        nonlocal total
+        names = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        is_expert = "moe" in names and names.rsplit("/", 1)[-1] in (
+            "w1", "w2", "b1", "b2",
+        )
+        total += v.size // num_experts if is_expert else v.size
+
+    jax.tree_util.tree_map_with_path(leaf, params)
+    return total
+
+
+def _validate_mesh_shapes(cfg: TrainConfig, mesh) -> None:
+    """Fail fast (with the reason) when the configured batch/sequence sizes
+    cannot be sharded over the mesh — otherwise the per-layer constraints
+    would be skipped for the B=1 init tracer but misbehave in training."""
+    if mesh is None:
+        return
+    dp = mesh.shape.get("dp", 1)
+    sp = mesh.shape.get("sp", 1)
+    ep = mesh.shape.get("ep", 1)
+    assert cfg.batch_size % dp == 0, (
+        f"batch_size={cfg.batch_size} must divide over dp={dp}"
+    )
+    if sp > 1:
+        assert cfg.bptt % sp == 0, (
+            f"bptt={cfg.bptt} must divide over sp={sp} for sequence "
+            "parallelism (pad bptt or change sp)"
+        )
+    if ep > 1:
+        assert cfg.num_experts % ep == 0, (
+            f"num_experts={cfg.num_experts} must divide over ep={ep}"
+        )
+
+
 def _make_optimizer(cfg: TrainConfig, param_count: int):
     base_lr = cfg.lr if cfg.lr is not None else get_openai_lr(param_count)
     epoch_schedule = cosine_schedule_with_warmup(
@@ -209,14 +252,16 @@ def make_train_step(model, prior, criterion: Criterion, cfg: TrainConfig, tx, me
             jnp.arange(cfg.bptt)[None, :] >= sep, losses.shape
         ).astype(losses.dtype)
         loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-        return loss + aux, sep
+        # Optimize task + aux; report the TASK loss (nats) so metrics stay
+        # comparable to dense runs and oracle curves.
+        return loss + aux, (loss, sep)
 
     def train_step(state: TrainState, key):
         keys = jax.random.split(key, k)
 
         def micro(carry, mkey):
             grad_sum, loss_sum, pos_loss, pos_cnt = carry
-            (loss, sep), grads = jax.value_and_grad(
+            (_, (loss, sep)), grads = jax.value_and_grad(
                 microbatch_loss, has_aux=True
             )(state.params, mkey)
             grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
@@ -281,7 +326,7 @@ def make_train_step_from_batch(model, criterion: Criterion, cfg: TrainConfig, tx
             jnp.arange(cfg.bptt)[None, :] >= sep, losses.shape
         ).astype(losses.dtype)
         loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-        return loss + aux, sep
+        return loss + aux, (loss, sep)
 
     def train_step(state: TrainState, key, xs, ys, target_ys):
         keys = jax.random.split(key, k)
@@ -289,7 +334,7 @@ def make_train_step_from_batch(model, criterion: Criterion, cfg: TrainConfig, tx
         def micro(carry, inp):
             grad_sum, loss_sum, pos_loss, pos_cnt = carry
             mkey, x, y, ty = inp
-            (loss, sep), grads = jax.value_and_grad(
+            (_, (loss, sep)), grads = jax.value_and_grad(
                 microbatch_loss, has_aux=True
             )(state.params, mkey, x, y, ty)
             grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
@@ -372,7 +417,10 @@ def train(
     params = init_params if init_params is not None else model.init_params(
         init_key, seq_len=cfg.bptt
     )
-    tx, base_lr, schedule = _make_optimizer(cfg, num_params(params))
+    _validate_mesh_shapes(cfg, mesh)
+    tx, base_lr, schedule = _make_optimizer(
+        cfg, _active_param_count(params, cfg.num_experts)
+    )
     if mesh is not None:
         # Place params per the tp/fsdp rules; tx.init derives the optimizer
         # state from the params eagerly, so its sharding follows automatically.
