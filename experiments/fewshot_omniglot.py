@@ -87,10 +87,7 @@ def main():
         full = synthetic_class_bank(
             seed=7, num_classes=40, per_class=20, imgsz=imgsz
         )
-        from pfn_tpu.data.omniglot import ClassBank
-
-        train_bank = ClassBank(full.images[:30], full.alphabet_ids[:30])
-        test_bank = ClassBank(full.images[30:], full.alphabet_ids[30:])
+        train_bank, test_bank = full.split(num_train_classes=30)
         source = "synthetic"
     print(f"episode source: {source} "
           f"({train_bank.num_classes} train / {test_bank.num_classes} test classes)")

@@ -42,11 +42,26 @@ def oracle_pass(out_dir: str):
         jnp.asarray(data["x"]), jnp.asarray(data["y"]), GP_HP,
         positions=jnp.asarray(data["positions"]), dtype=jnp.float64,
     )
+    # Second pass at the sampler's measured EFFECTIVE noise (~1e-3: the f32
+    # on-device factorization at T~2000 carries that much structured error —
+    # docs/PERF.md "Numerical-fidelity note"). This is the honest oracle for
+    # scoring data the f32 sampler actually produced; plot_fig3a.py prefers
+    # this key.
+    hp_eff = dict(GP_HP, noise=1e-3)
+    _, oracle_eff, secs2 = gp_exact_evaluate(
+        jnp.asarray(data["x"]), jnp.asarray(data["y"]), hp_eff,
+        positions=jnp.asarray(data["positions"]), dtype=jnp.float64,
+    )
     with open(os.path.join(out_dir, "oracle.json"), "w") as f:
         json.dump(
-            {"oracle_nll": np.asarray(oracle_at).tolist(), "seconds": secs}, f
+            {
+                "oracle_nll": np.asarray(oracle_at).tolist(),
+                "oracle_nll_noise1e-3": np.asarray(oracle_eff).tolist(),
+                "seconds": secs + secs2,
+            },
+            f,
         )
-    print(f"oracle (f64, cpu) done in {secs:.0f}s")
+    print(f"oracle (f64, cpu, nominal + effective noise) done in {secs + secs2:.0f}s")
 
 
 def main():
@@ -136,14 +151,21 @@ def main():
         "positions": positions.tolist(),
         "pfn_nll": np.asarray(pfn_nll).tolist(),
         "oracle_nll": oracle["oracle_nll"],
+        "oracle_nll_noise1e-3": oracle["oracle_nll_noise1e-3"],
         "final_train_loss": result.final_loss,
         "oracle_seconds": oracle["seconds"],
         "epochs": args.epochs,
+        "note": "oracle_nll_noise1e-3 = f64 oracle at the sampler's measured "
+                "effective noise (~1e-3 at T=2010 f32); see docs/PERF.md.",
     }
     with open(os.path.join(args.out, "curves.json"), "w") as f:
         json.dump(out, f, indent=2)
-    gap = np.asarray(pfn_nll) - np.asarray(oracle["oracle_nll"])
-    print(f"mean gap {gap.mean():.4f} nats; per-position:")
+    # Gap vs the effective-noise oracle — the honest comparison for data the
+    # f32 sampler produced (the nominal-noise gap is also derivable from the
+    # JSON).
+    gap = np.asarray(pfn_nll) - np.asarray(oracle["oracle_nll_noise1e-3"])
+    print(f"mean gap {gap.mean():.4f} nats (vs effective-noise oracle); "
+          "per-position:")
     for t, g in zip(positions.tolist(), gap.tolist()):
         print(f"  ctx={t:4d} gap={g:.4f}")
 

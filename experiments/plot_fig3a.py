@@ -36,12 +36,23 @@ def main():
         runs.append(d)
     runs.sort(key=lambda d: d["epochs"])
     assert runs, "no fig3a_*ep.json found"
+    if len(runs) > len(RAMP):
+        dropped = [d["epochs"] for d in runs[: -len(RAMP)]]
+        print(f"note: plotting the {len(RAMP)} longest schedules; "
+              f"dropping epochs={dropped}")
+        runs = runs[-len(RAMP):]
 
     fig, ax = plt.subplots(figsize=(7.2, 4.2), dpi=160)
     base = runs[-1]
     pos = [p for p in base["positions"] if p >= MIN_CTX]
     sel = [i for i, p in enumerate(base["positions"]) if p >= MIN_CTX]
-    oracle = [base["oracle_nll_noise1e-3"][i] for i in sel]
+    # Effective-noise oracle preferred (the honest ground truth for the f32
+    # on-device sampler, PERF.md); fall back to the nominal-noise oracle for
+    # runs that predate the dual-oracle longrun driver.
+    oracle_key = (
+        "oracle_nll_noise1e-3" if "oracle_nll_noise1e-3" in base else "oracle_nll"
+    )
+    oracle = [base[oracle_key][i] for i in sel]
     ax.plot(
         pos, oracle, "--", color=INK, lw=2,
         label="exact GP posterior (f64 oracle)", zorder=5,

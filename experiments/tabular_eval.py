@@ -105,9 +105,17 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     all_results = {}
+    # PFN cache lives in a model-tagged subdir: the protocol-level cache key
+    # (method+dataset+bptt+positions) cannot see WHICH model produced the
+    # numbers, so reruns with a different prior/size/epochs must not hit the
+    # old model's results. Baseline caches are model-free by construction.
+    pfn_cache = os.path.join(
+        args.out,
+        f"pfn_{args.prior}_e{cfg.epochs}_em{cfg.emsize}_f{num_features}",
+    )
     pfn_res = tab.evaluate(
         datasets, model, "pfn", args.bptt, args.eval_positions, params=params,
-        max_samples=args.max_samples, cache_dir=args.out,
+        max_samples=args.max_samples, cache_dir=pfn_cache,
         num_features=num_features,
     )
     all_results["pfn"] = pfn_res["mean_metric"]

@@ -56,7 +56,16 @@ class ExperimentConfig:
 
 
 def _parse_value(text: str) -> Any:
-    """Parse an override value: literal if possible, else the raw string."""
+    """Parse an override value: literal if possible, else the raw string.
+
+    Lowercase booleans/null are normalized first — otherwise
+    ``--set train.fsdp=false`` would store the truthy STRING 'false' and
+    enable the flag."""
+    lowered = text.strip().lower()
+    if lowered in ("true", "false"):
+        return lowered == "true"
+    if lowered in ("none", "null"):
+        return None
     try:
         return ast.literal_eval(text)
     except (ValueError, SyntaxError):

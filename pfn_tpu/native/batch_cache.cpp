@@ -87,19 +87,26 @@ void* bc_open(const char* path) {
     delete r;
     return nullptr;
   }
-  r->meta.assign(reinterpret_cast<const char*>(r->map + sizeof(Header)),
-                 r->hdr.metalen);
-  // Strip alignment padding NULs from the JSON payload.
-  while (!r->meta.empty() && r->meta.back() == '\0') r->meta.pop_back();
-  // Refuse truncated files: every declared record must be inside the map.
-  size_t need = sizeof(Header) + r->hdr.metalen +
-                r->hdr.nrec * r->hdr.recf * sizeof(float);
-  if (need > r->map_size) {
+  // Validate the header BEFORE dereferencing any length it declares, with
+  // overflow-safe arithmetic: a corrupt metalen/nrec/recf must fail cleanly,
+  // not read past the mapping or wrap the size check.
+  bool bad = r->hdr.metalen > r->map_size - sizeof(Header);
+  if (!bad) {
+    size_t payload = r->map_size - sizeof(Header) - r->hdr.metalen;
+    size_t max_floats = payload / sizeof(float);
+    bad = r->hdr.recf == 0 ||
+          r->hdr.nrec > max_floats / r->hdr.recf;  // division: no overflow
+  }
+  if (bad) {
     munmap(map, st.st_size);
     ::close(fd);
     delete r;
     return nullptr;
   }
+  r->meta.assign(reinterpret_cast<const char*>(r->map + sizeof(Header)),
+                 r->hdr.metalen);
+  // Strip alignment padding NULs from the JSON payload.
+  while (!r->meta.empty() && r->meta.back() == '\0') r->meta.pop_back();
   r->records = reinterpret_cast<const float*>(r->map + sizeof(Header) +
                                               r->hdr.metalen);
   // Sequential read-ahead hint for training-order scans.

@@ -112,17 +112,22 @@ class BatchCacheWriter:
             self._buf.append(flat)
 
     def finish(self) -> int:
+        """Idempotent: safe under ``with`` + an explicit finish() call."""
+        if getattr(self, "_finished", None) is not None:
+            return self._finished
         if self._h is not None:
             n = int(self._lib.bcw_num_records(self._h))
             self._lib.bcw_finish(self._h)
             self._h = None
+            self._finished = n
             return n
         np.savez(
             self.path + ".npz",
             records=np.stack(self._buf) if self._buf else np.zeros((0, self.record_floats), np.float32),
             meta=self._meta,
         )
-        return len(self._buf)
+        self._finished = len(self._buf)
+        return self._finished
 
     def __enter__(self):
         return self
@@ -245,6 +250,7 @@ def write_prior_cache(
     """Render ``num_batches`` prior batches once and store them."""
     import jax
 
+    assert num_batches >= 1, f"num_batches must be >= 1, got {num_batches}"
     sample = jax.jit(lambda k: prior.sample(k, batch_size, seq_len))
     key = jax.random.PRNGKey(seed)
     x0, y0, t0 = jax.device_get(sample(key))
@@ -335,7 +341,15 @@ class PrefetchIterator:
             except BaseException as e:  # re-raised at the consumer
                 self._error = e
             finally:
-                self._queue.put(_SENTINEL)
+                # Bounded put: on close() the queue may stay full (the
+                # consumer is gone) — give up instead of blocking the
+                # daemon thread forever; close() marks the iterator done.
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(_SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -355,10 +369,12 @@ class PrefetchIterator:
         return item
 
     def close(self):
+        self._done = True  # further __next__ raises StopIteration immediately
         self._stop.set()
         # Drain so the worker unblocks from a full queue and exits.
         while not self._queue.empty():
             self._queue.get_nowait()
+        self._thread.join(timeout=1.0)
 
 
 _SENTINEL = object()

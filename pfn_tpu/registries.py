@@ -95,7 +95,13 @@ def _register_builtins():
         return get_bucket_limits(num_buckets, full_range=full_range, ys=ys)
 
     CRITERIONS.register(
-        "ce", lambda prior, **kw: ce_criterion(kw.get("num_classes", 2))
+        # Head width defaults to the PRIOR's class count (e.g. n-way stroke/
+        # omniglot episodes) — a fixed default of 2 would silently clip
+        # labels >= 2 in multi-class training.
+        "ce",
+        lambda prior, **kw: ce_criterion(
+            kw.get("num_classes", getattr(prior, "num_outputs", 2))
+        ),
     )
     CRITERIONS.register("gaussnll", lambda prior, **kw: gaussian_nll_criterion())
     CRITERIONS.register("mse", lambda prior, **kw: mse_criterion())

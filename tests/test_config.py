@@ -111,3 +111,25 @@ def test_cli_end_to_end_tiny_train(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "final mean loss" in out and "saved checkpoint" in out
     assert ckpt.exists()
+
+
+def test_override_lowercase_booleans_and_none():
+    """--set train.fsdp=false must disable the flag, not store a truthy
+    string; none/null parse to None."""
+    from pfn_tpu.config import ExperimentConfig, apply_overrides
+
+    cfg = ExperimentConfig()
+    apply_overrides(cfg, ["train.fsdp=false", "train.verbose=true",
+                          "train.lr=none"])
+    assert cfg.train.fsdp is False
+    assert cfg.train.verbose is True
+    assert cfg.train.lr is None
+
+
+def test_ce_criterion_defaults_to_prior_num_outputs():
+    from pfn_tpu import registries
+    from pfn_tpu.priors.stroke import StrokePrior
+
+    prior = StrokePrior(num_features=16, num_outputs=5)
+    crit = registries.CRITERIONS.get("ce")(prior)
+    assert crit.num_classes == 5
