@@ -67,14 +67,16 @@ def pfn_attention(
     v: jax.Array,
     single_eval_pos,
     impl: str = "auto",
+    scale: float | None = None,
 ) -> jax.Array:
-    """Dispatching PFN attention. impl: 'dense' | 'flash' | 'auto'."""
+    """Dispatching PFN attention. impl: 'dense' | 'flash' | 'auto';
+    ``scale`` overrides the default 1/sqrt(head_dim) on either path."""
     if impl == "dense":
-        return pfn_attention_reference(q, k, v, single_eval_pos)
+        return pfn_attention_reference(q, k, v, single_eval_pos, scale=scale)
     if impl in ("flash", "auto"):
         from pfn_tpu.ops.flash_attention import pfn_flash_attention, flash_supported
 
         if impl == "flash" or flash_supported(q):
-            return pfn_flash_attention(q, k, v, single_eval_pos)
-        return pfn_attention_reference(q, k, v, single_eval_pos)
+            return pfn_flash_attention(q, k, v, single_eval_pos, scale=scale)
+        return pfn_attention_reference(q, k, v, single_eval_pos, scale=scale)
     raise ValueError(f"unknown attention impl {impl!r}")

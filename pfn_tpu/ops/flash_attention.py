@@ -281,7 +281,6 @@ def _flash_bwd(res, do):
     by_k = lambda b, i, j, sep_ref, len_ref: (
         b, _kv_select(block, i, j, sep_ref), 0
     )
-    by_q2 = lambda b, i, j, *_: (b, i, 0)
     # dq: grid (BH, nQ, nKV)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block),
@@ -289,7 +288,7 @@ def _flash_bwd(res, do):
             num_scalar_prefetch=2,
             grid=(BH, nblocks, nblocks),
             in_specs=[spec3(by_q), spec3(by_k), spec3(by_k), spec3(by_q),
-                      spec2(by_q2), spec2(by_q2)],
+                      spec2(by_q), spec2(by_q)],
             out_specs=spec3(by_q),
             scratch_shapes=[pltpu.VMEM((block, D), jnp.float32)],
         ),
@@ -306,14 +305,13 @@ def _flash_bwd(res, do):
 
     by_kv_outer = lambda b, j, i, *_: (b, j, 0)
     by_q_inner = lambda b, j, i, sep_ref, len_ref: (b, _q_select(j, i, sep_ref), 0)
-    by_q2_inner = lambda b, j, i, sep_ref, len_ref: (b, _q_select(j, i, sep_ref), 0)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(BH, nblocks, nblocks),
             in_specs=[spec3(by_q_inner), spec3(by_kv_outer), spec3(by_kv_outer),
-                      spec3(by_q_inner), spec2(by_q2_inner), spec2(by_q2_inner)],
+                      spec3(by_q_inner), spec2(by_q_inner), spec2(by_q_inner)],
             out_specs=[spec3(by_kv_outer), spec3(by_kv_outer)],
             scratch_shapes=[
                 pltpu.VMEM((block, D), jnp.float32),

@@ -81,24 +81,40 @@ def psd_safe_cholesky(A: jax.Array, initial_jitter: float = 1e-6, max_tries: int
     T = A.shape[-1]
     eye = jnp.eye(T, dtype=A.dtype)
 
+    def _ok(L):
+        # Per-MATRIX finiteness over the trailing two axes: works both under
+        # vmap (scalar) and for a directly-passed batched (..., T, T) input —
+        # a whole-array reduce would re-jitter already-converged batch
+        # members up to the worst element's jitter level.
+        return jnp.all(jnp.isfinite(L), axis=(-2, -1))
+
     def cond(state):
         tries, L, _ = state
-        return (tries < max_tries) & ~jnp.all(jnp.isfinite(L))
+        return (tries < max_tries) & ~jnp.all(_ok(L))
 
     def body(state):
         tries, L, jit_now = state
-        # Keep an already-finite factorization untouched: under vmap the
-        # while_loop runs every batch element until the WORST one converges,
-        # and recomputing unconditionally would silently re-jitter converged
-        # datasets up to the worst element's jitter level.
+        # Keep already-finite factorizations untouched.
         L_new = jax.lax.linalg.cholesky(A + jit_now * eye)
-        L = jnp.where(jnp.all(jnp.isfinite(L)), L, L_new)
+        L = jnp.where(_ok(L)[..., None, None], L, L_new)
         return tries + 1, L, jit_now * 10.0
 
     L0 = jax.lax.linalg.cholesky(A + initial_jitter * eye)
     first_retry = max(initial_jitter * 10.0, 1e-6)
     _, L, _ = jax.lax.while_loop(
         cond, body, (jnp.asarray(0), L0, jnp.asarray(first_retry, A.dtype))
+    )
+    # Exhausted ladder -> NaN factor. gpytorch raises here; inside jit we
+    # can't, so at least announce it at runtime instead of failing silently
+    # several steps later as a NaN loss.
+    jax.lax.cond(
+        jnp.all(_ok(L)),
+        lambda: None,
+        lambda: jax.debug.print(
+            "psd_safe_cholesky: jitter ladder exhausted after {} tries — "
+            "factor contains NaN",
+            max_tries,
+        ),
     )
     return L
 
@@ -132,12 +148,26 @@ def gp_sample_paths(
             return L @ z
 
     keys = jax.random.split(key, B)
+    F = x.shape[-1]
 
     # Broadcast hyperparameters to a leading batch axis uniformly.
+    # Accepted shapes: scalar (shared), (B,) per-dataset scalar, (F,) shared
+    # ARD, (1, F) shared ARD, (B, F) per-dataset ARD. A 1-D input is
+    # ambiguous when B == F — require an explicit 2-D shape there.
     def bcast(h):
         h = jnp.asarray(h, jnp.float32)
+        if h.ndim == 1 and h.shape[0] == B == F:
+            raise ValueError(
+                f"ambiguous 1-D hyperparameter of length {h.shape[0]} with "
+                f"batch_size == num_features == {B}: pass (1, {F}) for a "
+                f"shared ARD vector or ({B}, 1) for per-dataset scalars"
+            )
+        if h.ndim == 1 and h.shape[0] == F and F != B:
+            return jnp.broadcast_to(h, (B, F))  # shared ARD
+        if h.ndim == 2 and h.shape[0] == 1:
+            return jnp.broadcast_to(h, (B, h.shape[1]))
         if h.ndim > 0 and h.shape[0] == B:
-            return h
+            return h  # per-dataset
         return jnp.broadcast_to(h, (B,) + h.shape)
 
     return jax.vmap(per_dataset)(
@@ -194,7 +224,12 @@ def gp_posterior(
         alpha = jax.scipy.linalg.cho_solve((L, True), y)
         mean = k_star.T @ alpha
         v = jax.scipy.linalg.solve_triangular(L, k_star, lower=True)
-        kqq = kernel(xq, xq, lengthscale, outputscale)
-        var_f = jnp.diagonal(kqq) - jnp.sum(v * v, axis=0)
+        # diag(K(xq, xq)) without materializing the (M, M) query kernel:
+        # per-row self-evaluation (for stationary kernels this is just the
+        # outputscale, but stay generic for any kernel callable).
+        kqq_diag = jax.vmap(
+            lambda p: kernel(p[None], p[None], lengthscale, outputscale)[0, 0]
+        )(xq)
+        var_f = kqq_diag - jnp.sum(v * v, axis=0)
         var = jnp.maximum(var_f, 0.0) + noise
         return mean, var

@@ -214,3 +214,46 @@ def test_batch_pred_skips_single_class_windows():
     ])
     metrics, outputs = batch_pred(metric_fn, wx, wy, [], start=5)
     assert len(metrics) == 2
+
+
+def test_psd_safe_cholesky_batched_per_matrix_jitter():
+    """A directly-passed batched input must only re-jitter the bad matrices,
+    not converged ones (per-matrix finiteness predicate)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pfn_tpu.ops.gp_sample import psd_safe_cholesky
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(6, 4).astype(np.float32)
+    good = a @ a.T + 10.0 * np.eye(6, dtype=np.float32)  # well-conditioned
+    b = rng.randn(6, 2).astype(np.float32)
+    bad = b @ b.T  # rank-2: needs jitter
+    A = jnp.stack([good, bad])
+    L = psd_safe_cholesky(A, initial_jitter=0.0)
+    assert np.isfinite(np.asarray(L)).all()
+    # The good matrix's factor must be the jitter-free one.
+    L_good = np.linalg.cholesky(good)
+    np.testing.assert_allclose(np.asarray(L[0]), L_good, rtol=1e-5, atol=1e-5)
+
+
+def test_gp_sample_ard_broadcast_rules():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from pfn_tpu.ops.gp_sample import gp_sample_paths
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (4, 10, 3))  # B=4, F=3
+    # shared ARD (F,) with F != B: fine
+    y = gp_sample_paths(key, x, lengthscale=jnp.ones(3), outputscale=1.0, noise=1e-2)
+    assert np.isfinite(np.asarray(y)).all()
+    # ambiguous: B == F
+    x2 = jax.random.uniform(key, (3, 10, 3))
+    with pytest.raises(ValueError, match="ambiguous"):
+        gp_sample_paths(key, x2, lengthscale=jnp.ones(3), outputscale=1.0, noise=1e-2)
+    # explicit (1, F) shared ARD works at B == F
+    y2 = gp_sample_paths(
+        key, x2, lengthscale=jnp.ones((1, 3)), outputscale=1.0, noise=1e-2
+    )
+    assert np.isfinite(np.asarray(y2)).all()
