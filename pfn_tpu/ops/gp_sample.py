@@ -105,17 +105,9 @@ def psd_safe_cholesky(A: jax.Array, initial_jitter: float = 1e-6, max_tries: int
         cond, body, (jnp.asarray(0), L0, jnp.asarray(first_retry, A.dtype))
     )
     # Exhausted ladder -> NaN factor. gpytorch raises here; inside jit we
-    # can't, so at least announce it at runtime instead of failing silently
-    # several steps later as a NaN loss.
-    jax.lax.cond(
-        jnp.all(_ok(L)),
-        lambda: None,
-        lambda: jax.debug.print(
-            "psd_safe_cholesky: jitter ladder exhausted after {} tries — "
-            "factor contains NaN",
-            max_tries,
-        ),
-    )
+    # cannot, and host callbacks (jax.debug.print) are unsupported on the
+    # axon TPU backend — run under jax.config.update("jax_debug_nans", True)
+    # (pfn_tpu.utils.profiling.debug_nans) to localize such failures.
     return L
 
 
