@@ -255,7 +255,7 @@ def make_pp_train_step(pp_model: PipelinedPFN, prior, criterion, cfg, tx):
         losses = criterion.per_position(out, target_y)
         mask = jnp.broadcast_to(
             jnp.arange(cfg.bptt)[None, :] >= sep, losses.shape
-        ).astype(losses.dtype)
+        ).astype(losses.dtype) * criterion.valid_weight(target_y)
         return jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     def train_step(state: TrainState, key):

@@ -250,7 +250,7 @@ def make_train_step(model, prior, criterion: Criterion, cfg: TrainConfig, tx, me
         losses = criterion.per_position(out, target_y)  # (B, T)
         mask = jnp.broadcast_to(
             jnp.arange(cfg.bptt)[None, :] >= sep, losses.shape
-        ).astype(losses.dtype)
+        ).astype(losses.dtype) * criterion.valid_weight(target_y)
         loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         # Optimize task + aux; report the TASK loss (nats) so metrics stay
         # comparable to dense runs and oracle curves.
@@ -324,7 +324,7 @@ def make_train_step_from_batch(model, criterion: Criterion, cfg: TrainConfig, tx
         losses = criterion.per_position(out, target_y)
         mask = jnp.broadcast_to(
             jnp.arange(cfg.bptt)[None, :] >= sep, losses.shape
-        ).astype(losses.dtype)
+        ).astype(losses.dtype) * criterion.valid_weight(target_y)
         loss = jnp.sum(losses * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         return loss + aux, (loss, sep)
 

@@ -71,6 +71,19 @@ class Criterion:
             return jnp.where(labels == -100, 0.0, -picked)
         raise ValueError(f"unknown criterion kind {self.kind!r}")
 
+    def valid_weight(self, targets: jax.Array) -> jax.Array:
+        """Per-position contribution weight for masked-mean normalization.
+
+        CE ignores ignore_index (-100) targets, and torch's
+        ``CrossEntropyLoss(ignore_index=-100)`` (reference train.py:75-92)
+        MEANS over the non-ignored elements only — so ignored positions must
+        not inflate the denominator. All other criterions score every
+        position.
+        """
+        if self.kind == "ce":
+            return (targets.astype(jnp.int32) != -100).astype(jnp.float32)
+        return jnp.ones(targets.shape, jnp.float32)
+
     def mean(self, logits):
         assert self.kind in ("bar", "full_bar")
         return self.bar.mean(logits)
