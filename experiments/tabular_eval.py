@@ -38,6 +38,20 @@ def main():
     p.add_argument("--out", default="results/tabular")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--load", default=None, help="skip training, load params")
+    p.add_argument(
+        "--suite", default="auto", choices=["auto", "reference", "sklearn", "both"],
+        help="dataset suite: the reference's bundled svmlight/CSV files "
+             "(where baselines actually spread out), the hermetic sklearn "
+             "suite, or both; auto = reference when present else sklearn",
+    )
+    p.add_argument(
+        "--ref_root", default="/root/reference/datasets",
+        help="directory with the reference's bundled dataset files",
+    )
+    p.add_argument(
+        "--no_categorical", action="store_true",
+        help="disable categorical feature discretization in the MLP prior",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -47,11 +61,19 @@ def main():
 
     import numpy as np
 
-    from pfn_tpu.data import load_local_benchmark
+    from pfn_tpu.data import load_local_benchmark, load_reference_benchmark
     from pfn_tpu.evals import tabular as tab
     from pfn_tpu.train import TrainConfig, bce_criterion, train
 
-    datasets = load_local_benchmark(max_samples=400)
+    suite = args.suite
+    if suite == "auto":
+        suite = "reference" if os.path.isdir(args.ref_root) else "sklearn"
+    datasets = []
+    if suite in ("reference", "both"):
+        datasets += load_reference_benchmark(args.ref_root, max_samples=400)
+    if suite in ("sklearn", "both"):
+        datasets += load_local_benchmark(max_samples=400)
+    print(f"suite={suite}: {[d[0] for d in datasets]}")
     # Model feature width: reference uses 60 padded features; the hermetic
     # suite's widest dataset works too.
     data_width = max(d[1].shape[1] for d in datasets)
@@ -62,7 +84,7 @@ def main():
 
         prior = MLPPrior(
             num_features=num_features, is_binary_classification=True,
-            is_causal=False,
+            is_causal=False, categorical_x=not args.no_categorical,
         )
     else:
         from pfn_tpu.priors.binarize import binarized_gp_prior

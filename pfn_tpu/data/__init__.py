@@ -16,6 +16,9 @@ from pfn_tpu.data.datasets import (
     get_linnerud,
     load_local_benchmark,
     load_openml_list,
+    load_reference_benchmark,
+    load_svmlight,
+    get_csv_labeled,
     valid_dids_classification,
     test_dids_classification,
 )
@@ -34,6 +37,9 @@ __all__ = [
     "get_linnerud",
     "load_local_benchmark",
     "load_openml_list",
+    "load_reference_benchmark",
+    "load_svmlight",
+    "get_csv_labeled",
     "valid_dids_classification",
     "test_dids_classification",
 ]

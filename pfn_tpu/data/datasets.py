@@ -127,6 +127,69 @@ def load_svmlight(path: str, max_samples: int = 400):
     return class_balance_interleave(X, y, max_samples=max_samples)
 
 
+def get_csv_labeled(
+    path: str,
+    label_col: str,
+    label_map: dict | None = None,
+    drop_cols: tuple = (),
+    max_samples: int | None = None,
+):
+    """Load a CSV with a named label column as a class-balanced binary
+    dataset. Covers the reference's bundled heart.csv ('target',
+    datasets/__init__.py:106-114) and biochem.csv ('class' Abnormal/Normal,
+    :94-103). Deviation (documented): the reference's CSV loaders reshape
+    raw halves without sorting by label first, which does not actually
+    class-balance; we apply the standard sort-interleave like every other
+    loader."""
+    import pandas as pd
+
+    df = pd.read_csv(path).drop(columns=list(drop_cols))
+    y = df[label_col]
+    if label_map is not None:
+        y = y.map(lambda v: label_map[v])
+    X = df.drop(columns=[label_col]).to_numpy(dtype=np.float32)
+    y = y.to_numpy(dtype=np.float32)
+    return class_balance_interleave(X, y, max_samples=max_samples)
+
+
+#: The reference's 9 locally bundled real binary-classification datasets
+#: (svmlight + CSV files under <ref>/datasets/, loaders
+#: datasets/__init__.py:8-16,94-114). Caps follow the reference (400 via the
+#: protocol; heart 274, biochem 200 via their loaders).
+REFERENCE_BUNDLED_SVMLIGHT = (
+    "a1a", "australian", "diabetes", "fourclass", "german.numer",
+    "ionosphere_scale", "splice",
+)
+
+
+def load_reference_benchmark(root: str, max_samples: int = 400):
+    """Load the reference's bundled svmlight/CSV datasets from ``root`` (a
+    directory laid out like the reference's ``datasets/``) in the standard
+    ``[name, X, y, categorical_feats]`` row format. Raises FileNotFoundError
+    if the directory (or any expected file) is absent — callers gate and
+    fall back to :func:`load_local_benchmark`."""
+    import os
+
+    rows = []
+    for name in REFERENCE_BUNDLED_SVMLIGHT:
+        X, y = load_svmlight(
+            os.path.join(root, f"{name}.txt"), max_samples=max_samples
+        )
+        rows.append([name, X, y, []])
+    X, y = get_csv_labeled(
+        os.path.join(root, "heart.csv"), "target",
+        max_samples=min(274, max_samples),
+    )
+    rows.append(["heart", X, y, []])
+    X, y = get_csv_labeled(
+        os.path.join(root, "biochem.csv"), "class",
+        label_map={"Abnormal": 0, "Normal": 1},
+        max_samples=min(200, max_samples),
+    )
+    rows.append(["biochem", X, y, []])
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # OpenML (gated: needs the openml package + network)
 # ---------------------------------------------------------------------------

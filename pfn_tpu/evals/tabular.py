@@ -383,6 +383,9 @@ def evaluate(
                     np.asarray(aucs).mean()
                 )
             ds_result[f"{name}_per_ds_metric_at_{pos}"] = np.asarray(aucs)
+            # Valid-window count: windows skipped as single-class don't
+            # contribute, so datasets weigh by how many windows they scored.
+            ds_result[f"{name}_num_windows_at_{pos}"] = int(np.size(aucs))
         ds_result[f"{name}_time"] = time.time() - t0
         if cache_path:
             os.makedirs(cache_dir, exist_ok=True)
@@ -390,8 +393,18 @@ def evaluate(
         result.update(ds_result)
 
     for pos in eval_positions:
+        # Weight each dataset by its valid-window count (derived from the
+        # stored per-window arrays so older caches stay compatible): a
+        # dataset with 2 valid windows must not weigh like one with 40.
+        counts = np.asarray(
+            [np.size(result[f"{d[0]}_per_ds_metric_at_{pos}"]) for d in datasets],
+            dtype=np.float64,
+        )
+        means = np.asarray(
+            [result[f"{d[0]}_mean_metric_at_{pos}"] for d in datasets]
+        )
         result[f"mean_metric_at_{pos}"] = float(
-            np.mean([result[f"{d[0]}_mean_metric_at_{pos}"] for d in datasets])
+            np.sum(means * counts) / np.maximum(np.sum(counts), 1.0)
         )
     result["mean_metric"] = float(
         np.mean([result[f"mean_metric_at_{pos}"] for pos in eval_positions])

@@ -11,17 +11,20 @@ through it, and read x and y off the network:
     a random activation if not ``y_is_effect``), x = a random subset of
     ``num_features_used`` activations (mlp.py:148-155).
 
-Then z-score x and y per dataset, optionally binarize y at the median for
-classification, rescale by used-feature share, and zero-pad features to
-``num_features`` (mlp.py:177-189).
+Then optionally discretize a sampled subset of features into categorical
+(ordinal rank-bins or hashed nominal classes, mlp.py:160-170), z-score x and
+y per dataset, optionally binarize y at the median for classification,
+rescale by used-feature share, and zero-pad features to ``num_features``
+(mlp.py:177-189).
 
 TPU-native design: architecture sampling uses *static* maxima
 (``max_layers``/``max_hidden``) with per-group sampled effective depth/width
 applied as unit masks over zeroed weights — the function computed equals the
 smaller sampled network exactly, every shape is static, and the whole prior
-(including meta-randomness) is one jitted, vmapped function. Dropped-from-
-parity for now: categorical feature discretization (mlp.py:160-170) — see
-``categorical_features`` TODO.
+(including meta-randomness) is one jitted, vmapped function. Categorical
+discretization likewise uses a static threshold table (F, max_classes) with
+a per-feature sampled class count mask and a searchsorted bin count, instead
+of the reference's per-feature Python loop over ragged threshold lists.
 """
 
 from __future__ import annotations
@@ -69,10 +72,69 @@ class MLPPrior:
     is_binary_classification: bool = False
     normalize_by_used_features_flag: bool = True
     batch_size_per_sample: int | None = None
+    # Categorical feature discretization (reference mlp.py:47-59,160-170):
+    # per group, a scaled-Beta(0.5, 0.8) share of the used features becomes
+    # categorical; each such feature is ordinal w.p. 1/2 (rank-bin count kept
+    # as the value) else nominal (bin count hashed into the class id).
+    categorical_x: bool = False
+    max_categorical_classes: int = 10          # nominal cap (mlp.py:51)
+    max_categorical_classes_ordinal: int = 200  # ordinal cap (mlp.py:52)
 
     def _num_causes(self) -> int:
         # Non-causal: causes are the features themselves (mlp.py:102).
         return self.num_features
+
+    def _discretize_categoricals(self, key, x, n_used):
+        """Discretize a sampled subset of features (reference mlp.py:160-170).
+
+        Per group: ``num_cat ~ scaled_beta(0.5, 0.8, n_used, 0)`` features
+        (a random subset of the used columns) are made categorical. Each has
+        ``is_ordinal ~ Bernoulli(1/2)`` and a class count drawn from
+        ``scaled_beta(0.1, 2.0, cap, 1)`` with cap 200 (ordinal) / 10
+        (nominal), and thresholds ``U(0,1) - 0.5`` against the per-dataset
+        z-scored column. The value is the threshold-exceed count (ordinal
+        rank bin); nominal features map the count through the reference's
+        hash ``count * (127*n + 1) % n``, which is arithmetically
+        ``count % n`` since ``127*n + 1 ≡ 1 (mod n)``.
+
+        Static-shape design: a dense (F, max_classes) threshold table with a
+        per-feature class-count mask; the bin count is a vmapped
+        ``searchsorted`` against the sorted active thresholds (inactive
+        thresholds sort to +inf), so no ragged lists or (T, F, C) blowup.
+        """
+        _, _, F = x.shape
+        kc = jax.random.split(key, 6)
+        maxc = self.max_categorical_classes_ordinal
+
+        def scaled_beta(k, a, b, scale, minimum, shape=()):
+            # reference priors/utils.py:70: minimum + round(beta*(scale-min+1) - .5)
+            u = jax.random.beta(k, a, b, shape)
+            return minimum + jnp.clip(
+                jnp.floor(u * (scale - minimum + 1)), 0, scale - minimum
+            ).astype(jnp.int32)
+
+        num_cat = scaled_beta(kc[0], 0.5, 0.8, n_used, 0)
+        # Which features: a uniform ranking over the used columns (mlp.py:161).
+        scores = jnp.where(
+            jnp.arange(F) < n_used, jax.random.uniform(kc[1], (F,)), jnp.inf
+        )
+        rank = jnp.argsort(jnp.argsort(scores))
+        is_cat = rank < num_cat  # (F,)
+        is_ordinal = jax.random.bernoulli(kc[2], 0.5, (F,))
+        n_cls = jnp.where(
+            is_ordinal,
+            scaled_beta(kc[3], 0.1, 2.0, maxc, 1, (F,)),
+            scaled_beta(kc[3], 0.1, 2.0, self.max_categorical_classes, 1, (F,)),
+        )  # (F,)
+        thr = jax.random.uniform(kc[4], (F, maxc)) - 0.5
+        active = jnp.arange(maxc)[None, :] < n_cls[:, None]
+        thr_sorted = jnp.sort(jnp.where(active, thr, jnp.inf), axis=1)
+        z = normalize_data(x, axis=1)  # per-dataset seq z-score (mlp.py:163)
+        count = jax.vmap(  # over features: (maxc,), (G, T) -> (G, T)
+            lambda t, col: jnp.searchsorted(t, col), in_axes=(0, 2), out_axes=2
+        )(thr_sorted, z)  # #thresholds strictly below z == reference's sum
+        val = jnp.where(is_ordinal, count, count % n_cls).astype(x.dtype)
+        return jnp.where(is_cat[None, None, :], val, x)
 
     def _sample_one_group(self, key: jax.Array, seq_len: int, group_size: int):
         """Sample one random MLP + ``group_size`` datasets pushed through it."""
@@ -190,7 +252,9 @@ class MLPPrior:
         data_keys = jax.random.split(ks[10], group_size)
         x, y = jax.vmap(one_dataset)(data_keys)  # (G,T,F), (G,T)
 
-        # Post-processing (mlp.py:177-189), per dataset over the seq axis.
+        # Post-processing (mlp.py:160-189), per dataset over the seq axis.
+        if self.categorical_x:
+            x = self._discretize_categoricals(ks[11], x, n_used)
         x = normalize_data(x, axis=1)
         y = normalize_data(y[..., None], axis=1)[..., 0]
         if self.is_binary_classification:

@@ -176,3 +176,52 @@ def test_gp_prior_long_sequence_finite():
     prior = GPPrior(num_features=1, noise=1e-4, outputscale=1.0, lengthscale=0.6)
     _, y, _ = jax.jit(lambda k: prior.sample(k, 2, 1024))(jax.random.PRNGKey(0))
     assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_mlp_prior_categorical_discretization_semantics():
+    """Direct semantics of the discretizer (reference mlp.py:160-170): each
+    column is either untouched or replaced by integer bin ids in range."""
+    prior = MLPPrior(num_features=6, categorical_x=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 50, 6))
+    n_used = jnp.asarray(6, jnp.int32)
+    changed_any = False
+    for seed in range(6):
+        out = prior._discretize_categoricals(
+            jax.random.PRNGKey(seed), x, n_used
+        )
+        out_np, x_np = np.asarray(out), np.asarray(x)
+        for f in range(6):
+            col = out_np[:, :, f]
+            if np.array_equal(col, x_np[:, :, f]):
+                continue  # not selected as categorical
+            changed_any = True
+            # Bin ids: integers within [0, max ordinal classes].
+            np.testing.assert_array_equal(col, np.round(col))
+            assert col.min() >= 0 and col.max() <= 200
+    assert changed_any, "no feature was discretized across 6 seeds"
+
+
+def test_mlp_prior_categorical_discrete_marginals():
+    """End to end: with categorical_x on, some feature columns carry few
+    distinct values per dataset (discrete marginals); without it, every
+    column is continuous (T distinct values)."""
+    kwargs = dict(num_features=8, batch_size_per_sample=4)
+    T = 64
+    x_cat, _, _ = MLPPrior(categorical_x=True, **kwargs).sample(
+        jax.random.PRNGKey(5), 32, T
+    )
+    x_cont, _, _ = MLPPrior(**kwargs).sample(jax.random.PRNGKey(5), 32, T)
+    assert np.isfinite(np.asarray(x_cat)).all()
+
+    def min_distinct(x):
+        x = np.asarray(x)
+        return min(
+            len(np.unique(x[b, :, f]))
+            for b in range(x.shape[0])
+            for f in range(x.shape[2])
+        )
+
+    assert min_distinct(x_cont) == T  # continuous: all values distinct
+    # Discretized-then-z-scored columns have at most n_classes+1 levels; with
+    # 8 groups x 8 features some column is near-surely coarse.
+    assert min_distinct(x_cat) <= 12

@@ -1,6 +1,8 @@
 """Tabular benchmark harness tests: window protocol, baselines, PFN branch
 (SURVEY.md §3.4)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -127,3 +129,58 @@ def test_svmlight_loader(tmp_path):
     assert len(yb) == 40 and yb.sum() == 20
     assert set(np.unique(yb)) == {0.0, 1.0}
     assert Xb.shape == (40, 4)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/datasets"),
+    reason="reference bundled datasets not present",
+)
+def test_reference_benchmark_loads_all_nine():
+    from pfn_tpu.data import load_reference_benchmark
+
+    rows = load_reference_benchmark("/root/reference/datasets")
+    names = [r[0] for r in rows]
+    assert names == [
+        "a1a", "australian", "diabetes", "fourclass", "german.numer",
+        "ionosphere_scale", "splice", "heart", "biochem",
+    ]
+    for name, X, y, cats in rows:
+        assert X.ndim == 2 and len(X) == len(y) and len(X) <= 400
+        assert np.isfinite(X).all(), name
+        assert abs(float(y.mean()) - 0.5) < 1e-6, f"{name} not balanced"
+
+
+def test_evaluate_weights_by_valid_window_count():
+    """The cross-dataset mean weighs each dataset by its valid-window count
+    (a 1-window dataset must not count like a 3-window one)."""
+    from pfn_tpu.evals import tabular as tab
+
+    rng = np.random.default_rng(0)
+    # A: long enough for several bptt=20 windows; B: exactly one.
+    A = ["A", rng.normal(size=(60, 3)).astype(np.float32),
+         (rng.random(60) > 0.5).astype(np.float32), []]
+    B = ["B", rng.normal(size=(20, 3)).astype(np.float32),
+         (rng.random(20) > 0.5).astype(np.float32), []]
+
+    def const(v):
+        return lambda x, y, tx, ty, cats: (v, np.zeros(len(ty)))
+
+    na = tab.evaluate([A], const(0.8), "m", 20, [10], max_samples=5)[
+        "A_num_windows_at_10"
+    ]
+    nb = tab.evaluate([B], const(0.2), "m", 20, [10], max_samples=5)[
+        "B_num_windows_at_10"
+    ]
+    assert na > nb >= 1
+
+    # evaluate() iterates datasets then windows in order, so a queue of
+    # per-call values pins dataset A at 0.8 and B at 0.2.
+    vals = iter([0.8] * na + [0.2] * nb)
+    res = tab.evaluate(
+        [A, B],
+        lambda x, y, tx, ty, cats: (next(vals), np.zeros(len(ty))),
+        "m2", 20, [10], max_samples=5,
+    )
+    weighted = (0.8 * na + 0.2 * nb) / (na + nb)
+    assert res["mean_metric_at_10"] == pytest.approx(weighted)
+    assert weighted != pytest.approx((0.8 + 0.2) / 2)
