@@ -101,7 +101,13 @@ class _PFNEstimator:
         """Context + queries -> model inputs (1, T, F), (1, T), sep."""
         assert self._ctx_x is not None, "call fit(X, y) first"
         n_ctx = self._ctx_x.shape[0]
-        x = np.concatenate([self._ctx_x, np.asarray(Xq, np.float32)], axis=0)
+        Xq = np.asarray(Xq, np.float32)
+        if Xq.shape[1] != self._ctx_x.shape[1]:
+            raise ValueError(
+                f"query matrix has {Xq.shape[1]} features but fit() saw "
+                f"{self._ctx_x.shape[1]}"
+            )
+        x = np.concatenate([self._ctx_x, Xq], axis=0)
         if self.normalize_x:
             mu = x[:n_ctx].mean(axis=0, keepdims=True)
             sd = x[:n_ctx].std(axis=0, keepdims=True) + 1e-6
@@ -166,7 +172,11 @@ class PFNRegressor(_PFNEstimator):
 
     def predict_quantiles(self, Xq, qs: Sequence[float]):
         """(len(qs), n_query) posterior quantiles (bar heads only)."""
-        assert self.criterion.kind in ("bar", "full_bar")
+        if self.criterion.kind not in ("bar", "full_bar"):
+            raise ValueError(
+                f"criterion {self.criterion.kind!r} is not a bar-distribution "
+                "head — quantiles need a bar/full_bar model"
+            )
         logits = self._logits(Xq)
         return np.asarray(
             jnp.stack([self.criterion.bar.icdf(logits, q) for q in qs])
@@ -174,7 +184,11 @@ class PFNRegressor(_PFNEstimator):
 
     def sample(self, key, Xq, num_samples: int = 1):
         """(num_samples, n_query) draws from the posterior predictive."""
-        assert self.criterion.kind in ("bar", "full_bar")
+        if self.criterion.kind not in ("bar", "full_bar"):
+            raise ValueError(
+                f"criterion {self.criterion.kind!r} is not a bar-distribution "
+                "head — posterior sampling needs a bar/full_bar model"
+            )
         logits = self._logits(Xq)
         keys = jax.random.split(key, num_samples)
         return np.asarray(

@@ -343,8 +343,12 @@ class PrefetchIterator:
             finally:
                 # Bounded put: on close() the queue may stay full (the
                 # consumer is gone) — give up instead of blocking the
-                # daemon thread forever; close() marks the iterator done.
-                while not self._stop.is_set():
+                # daemon thread forever. Also bound total retries so an
+                # abandoned (never-closed) iterator doesn't leave a
+                # busy-looping daemon thread for the process lifetime.
+                for _ in range(600):  # <= 60 s of 10 Hz retries
+                    if self._stop.is_set():
+                        break
                     try:
                         self._queue.put(_SENTINEL, timeout=0.1)
                         break

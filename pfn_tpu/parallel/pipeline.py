@@ -184,6 +184,12 @@ class PipelinedPFN:
         B = tokens.shape[0]
         assert B % M == 0, f"batch {B} must divide into {M} microbatches"
         mB = B // M
+        dp = self.mesh.shape.get("dp", 1)
+        assert mB % dp == 0, (
+            f"per-microbatch size {mB} (batch {B} / {M} microbatches) must "
+            f"divide the dp axis ({dp}) to shard over the mesh — adjust "
+            "batch_size or num_micro"
+        )
         micro = tokens.reshape(M, mB, *tokens.shape[1:])
         sep = jnp.asarray(single_eval_pos, jnp.int32)
         stage_apply = self.stage.apply

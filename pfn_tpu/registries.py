@@ -94,15 +94,21 @@ def _register_builtins():
         ys = sample_y_for_buckets(prior, y_sample_size, seq_len)
         return get_bucket_limits(num_buckets, full_range=full_range, ys=ys)
 
-    CRITERIONS.register(
+    def _make_ce(prior, **kw):
         # Head width defaults to the PRIOR's class count (e.g. n-way stroke/
         # omniglot episodes) — a fixed default of 2 would silently clip
         # labels >= 2 in multi-class training.
-        "ce",
-        lambda prior, **kw: ce_criterion(
-            kw.get("num_classes", getattr(prior, "num_outputs", 2))
-        ),
-    )
+        num_classes = kw.get("num_classes", getattr(prior, "num_outputs", 2))
+        if num_classes < 2:
+            raise ValueError(
+                f"'ce' needs num_classes >= 2, resolved {num_classes} (the "
+                f"prior reports num_outputs={getattr(prior, 'num_outputs', '?')} "
+                "— a regression prior? pass --set criterion.kwargs."
+                "num_classes=K or use a classification prior/criterion)"
+            )
+        return ce_criterion(num_classes)
+
+    CRITERIONS.register("ce", _make_ce)
     CRITERIONS.register("gaussnll", lambda prior, **kw: gaussian_nll_criterion())
     CRITERIONS.register("mse", lambda prior, **kw: mse_criterion())
     CRITERIONS.register("bce", lambda prior, **kw: bce_criterion())
