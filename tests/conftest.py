@@ -22,3 +22,96 @@ def eight_devices():
     devs = jax.devices()
     assert len(devs) == 8, f"expected 8 virtual CPU devices, got {devs}"
     return devs
+
+
+# Curated quick subset: the cheapest test(s) of every module, selected from a
+# measured full-suite --durations=0 run so `pytest -m quick` covers every
+# subsystem in ~3 minutes on an idle host (the full suite takes ~30+ min on
+# this 1-core host). Regenerate by re-running the suite with --durations=0
+# and re-curating; tests not listed simply run only in the full suite.
+_QUICK_TESTS = {
+    "test_bar_distribution.py::test_bucket_mapping_edges",
+    "test_bar_distribution.py::test_cdf_icdf_roundtrip",
+    "test_bar_distribution.py::test_density_integrates_to_one",
+    "test_bar_distribution.py::test_ei_maximize",
+    "test_bar_distribution.py::test_full_support_density_integrates_to_one",
+    "test_bar_distribution.py::test_full_support_mean_tail_adjustment",
+    "test_bar_distribution.py::test_full_support_nll_tails",
+    "test_bar_distribution.py::test_get_bucket_limits_equal_mass",
+    "test_bar_distribution.py::test_get_bucket_limits_range",
+    "test_bar_distribution.py::test_mean_mode",
+    "test_bar_distribution.py::test_nll_matches_hand_computed_density",
+    "test_bar_distribution.py::test_quantile_interval",
+    "test_bar_distribution.py::test_sampling_matches_distribution",
+    "test_bayesopt.py::test_ei_prefers_high_mean_bucket",
+    "test_bayesopt.py::test_pi_monotone_in_best_f",
+    "test_bayesopt.py::test_scores_jit_stable_across_num_obs",
+    "test_checkpoints.py::test_torch_export_roundtrip",
+    "test_comparison.py::test_conf_interval",
+    "test_comparison.py::test_log_joint_finite_and_peaked_at_truth",
+    "test_config.py::test_yaml_roundtrip",
+    "test_flash_attention.py::test_flash_bf16_close_to_f32_dense",
+    "test_flash_attention.py::test_flash_forward_matches_dense[100-0]",
+    "test_flash_attention.py::test_flash_forward_traced_sep",
+    "test_gp_mix_oracles.py::test_hyperprior_finite_and_peaked",
+    "test_host_data_training.py::test_host_iter_rejects_chunking",
+    "test_inference.py::test_hmc_correlated_gaussian",
+    "test_inference.py::test_hmc_recovers_conjugate_gaussian",
+    "test_inference.py::test_svgd_gaussian_moments",
+    "test_inference_api.py::test_feature_padding",
+    "test_inference_api.py::test_regressor_rejects_classifier_heads",
+    "test_losses.py::test_ce_valid_weight_masks_ignore_index",
+    "test_model.py::test_dense_attention_reference_softmax_rows",
+    "test_model.py::test_eval_labels_are_invisible",
+    "test_model.py::test_eval_points_do_not_influence_each_other",
+    "test_model.py::test_gaussian_head_two_outputs",
+    "test_model.py::test_pfn_mask_structure",
+    "test_model.py::test_positional_encodings_apply[learned]",
+    "test_model.py::test_positional_encodings_apply[sinus]",
+    "test_model.py::test_traced_sep_equals_static_sep",
+    "test_model.py::test_train_points_influence_everything",
+    "test_model.py::test_zero_init_makes_layers_identity_at_init",
+    "test_moe.py::test_ep_param_sharding_rules",
+    "test_native_cache.py::test_prefetch_iterator_preserves_stream",
+    "test_native_cache.py::test_write_prior_cache_and_cached_prior",
+    "test_omniglot.py::test_translate_keeps_ink_mass",
+    "test_oracles.py::test_bayes_linreg_posterior_shrinks",
+    "test_oracles.py::test_gp_posterior_single_point_analytic",
+    "test_oracles.py::test_ridge_evaluate_matches_sklearn",
+    "test_pipeline.py::test_pipeline_forward_matches_reference",
+    "test_presentation.py::test_heatmap_with_box_sizes_draws_mesh",
+    "test_presentation.py::test_plot_bar_distribution_sorts_and_densifies",
+    "test_presentation.py::test_plot_model_and_orig_curve",
+    "test_presentation.py::test_plot_model_w_eval_pos_windowed",
+    "test_priors.py::test_gp_prior_long_sequence_finite",
+    "test_priors.py::test_kernels_basic_properties",
+    "test_priors.py::test_module_prior_custom_sampler",
+    "test_priors.py::test_prior_sampling_is_jittable_and_deterministic",
+    "test_priors.py::test_ridge_shapes_and_stats",
+    "test_profiling.py::test_annotate_runs",
+    "test_profiling.py::test_debug_nans_scoped",
+    "test_profiling.py::test_step_timers_channels",
+    "test_resume.py::test_completed_run_is_noop_on_resume",
+    "test_review_fixes.py::test_bucket_limits_duplicate_ys_yield_strictly_increasing_borders",
+    "test_review_fixes.py::test_eval_pos_registry_is_consulted",
+    "test_review_fixes.py::test_seqbn_normalizes_current_batch",
+    "test_review_fixes.py::test_tabular_pfn_uses_context_stats",
+    "test_sharding.py::test_fsdp_param_sharding_rules",
+    "test_sharding.py::test_param_sharding_rules",
+    "test_sklearn_crosscheck.py::test_ridge_evaluate_matches_sklearn_refit",
+    "test_stroke.py::test_labels_are_classes",
+    "test_tabular.py::test_baseline_knn_beats_chance",
+    "test_tabular.py::test_build_windows_seeded",
+    "test_tabular.py::test_local_datasets_load",
+    "test_tabular.py::test_reference_benchmark_loads_all_nine",
+    "test_train.py::test_positional_loss_bookkeeping",
+    "test_train_chunked.py::test_chunk_divisibility_enforced",
+    "test_validate_hook.py::test_validator_runs_and_improves_with_training",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        key = f"{item.fspath.basename}::{item.name}"
+        if key in _QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)

@@ -107,3 +107,53 @@ def test_validate_hook_untrained_is_chance(bank):
     acc = omniglot_accuracy(model, params, prior, batch_size=16, seq_len=9,
                             num_batches=2)
     assert 0.0 <= acc <= 0.7  # chance is 0.25
+
+
+def test_load_omniglot_class_bank_from_disk(tmp_path):
+    """The real-data file-parsing path (reference datasets/omniglot.py:83-112
+    layout: omniglot-py/images_{background,evaluation}/<alphabet>/<char>/*.png)
+    on a miniature generated directory tree."""
+    from PIL import Image
+
+    from pfn_tpu.data.omniglot import load_omniglot_class_bank
+
+    rng = np.random.RandomState(0)
+    layout = {
+        "images_background": ["AlphaA", "AlphaB"],
+        "images_evaluation": ["AlphaC"],
+    }
+    per_class, n_char = 3, 2
+    for split, alphabets in layout.items():
+        for alphabet in alphabets:
+            for ci in range(n_char):
+                cdir = tmp_path / "omniglot-py" / split / alphabet / f"character{ci:02d}"
+                cdir.mkdir(parents=True)
+                for k in range(per_class):
+                    # Omniglot-style: white background (255), black ink (0).
+                    arr = np.full((105, 105), 255, np.uint8)
+                    arr[20 + 10 * ci : 40 + 10 * ci, 30 : 60 + 5 * k] = 0
+                    Image.fromarray(arr, mode="L").save(cdir / f"{k}.png")
+
+    bank = load_omniglot_class_bank(str(tmp_path), imgsz=28)
+    assert bank.images.shape == (6, per_class, 28, 28)  # 3 alphabets x 2 chars
+    assert bank.images.dtype == np.float32
+    assert 0.0 <= bank.images.min() and bank.images.max() <= 1.0
+    # Inverted to MNIST style: ink is bright, background dark.
+    assert bank.images.mean() < 0.5 < bank.images.max()
+    # Alphabet ids follow directory grouping across both splits.
+    np.testing.assert_array_equal(bank.alphabet_ids, [0, 0, 1, 1, 2, 2])
+
+    # The loaded bank drives the episode prior end to end.
+    prior = OmniglotPrior(bank, num_outputs=3, rotation_class_augs=False)
+    seq_len = 1 + 3 * 1  # 3-way 1-shot + 1 query
+    x, y, target_y = prior.sample(jax.random.PRNGKey(0), 4, seq_len)
+    assert np.isfinite(np.asarray(x)).all()
+    # Only-last-idx targets (priors/omniglot.py parity).
+    assert (np.asarray(target_y)[:, :-1] == -100).all()
+
+
+def test_load_omniglot_class_bank_missing_dir_raises(tmp_path):
+    from pfn_tpu.data.omniglot import load_omniglot_class_bank
+
+    with pytest.raises(FileNotFoundError, match="Omniglot data not found"):
+        load_omniglot_class_bank(str(tmp_path / "nope"))
