@@ -31,7 +31,8 @@ GP_HP = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 
-def measure_pfn_tpu(steps: int = 20, warmup: int = 3, updates_per_call: int = 10) -> float:
+def measure_pfn_tpu(steps: int = 20, warmup: int = 3, updates_per_call: int = 10,
+                    grid: int = 0) -> float:
     import jax
     import jax.numpy as jnp
     from pfn_tpu.distributions import get_bucket_limits
@@ -46,7 +47,7 @@ def measure_pfn_tpu(steps: int = 20, warmup: int = 3, updates_per_call: int = 10
     )
     from pfn_tpu.models.transformer import num_params
 
-    prior = GPPrior(num_features=1, **GP_HP)
+    prior = GPPrior(num_features=1, grid=grid, **GP_HP)
     crit = bar_criterion(get_bucket_limits(NUM_BUCKETS, full_range=(-4.0, 4.0)))
     cfg = TrainConfig(
         emsize=EMSIZE,
@@ -176,11 +177,13 @@ def get_baseline(remeasure: bool = False) -> float:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--grid", type=int, default=0,
+                   help="> 0: GP grid-sampling fast path (e.g. 2048)")
     p.add_argument("--remeasure-baseline", action="store_true")
     p.add_argument("--skip-baseline", action="store_true")
     args = p.parse_args()
 
-    value = measure_pfn_tpu(steps=args.steps)
+    value = measure_pfn_tpu(steps=args.steps, grid=args.grid)
     if args.skip_baseline:
         baseline = None
     else:

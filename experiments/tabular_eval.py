@@ -82,9 +82,16 @@ def main():
     if args.prior == "mlp":
         from pfn_tpu.priors.mlp import MLPPrior
 
+        from pfn_tpu.priors.hyper import UniformInt
+
+        # num_features_used sampled per group like the reference's tabular
+        # hyperparameter pack (tabular.py:47-70): real datasets of any width
+        # <= num_features are then in-distribution after zero-padding +
+        # used-features rescaling.
         prior = MLPPrior(
             num_features=num_features, is_binary_classification=True,
             is_causal=False, categorical_x=not args.no_categorical,
+            num_features_used=UniformInt(1, num_features + 1),
         )
     else:
         from pfn_tpu.priors.binarize import binarized_gp_prior

@@ -17,7 +17,11 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from pfn_tpu.ops.gp_sample import gp_sample_paths, rbf_kernel
+from pfn_tpu.ops.gp_sample import (
+    gp_sample_paths,
+    gp_sample_paths_grid,
+    rbf_kernel,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -28,6 +32,11 @@ class GPPrior:
     outputscale: float = 0.1
     lengthscale: float = 0.1
     equidistant_x: bool = False
+    # > 0: grid fast path (1-D only) — latent f drawn on a fixed G-point
+    # grid via a precomputed f64 Cholesky factor, x read off the grid; no
+    # per-step Cholesky at all. See ops.gp_sample.gp_sample_paths_grid for
+    # the approximation argument. 2048 is a good default when enabling.
+    grid: int = 0
 
     def hyperparameters(self) -> dict:
         return {
@@ -48,6 +57,15 @@ class GPPrior:
         )
 
     def sample(self, key: jax.Array, batch_size: int, seq_len: int):
+        if self.grid > 0:
+            assert self.num_features == 1 and not self.equidistant_x, (
+                "grid fast path is 1-D continuous-x only"
+            )
+            x, y = gp_sample_paths_grid(
+                key, batch_size, seq_len, self.grid,
+                self.lengthscale, self.outputscale, self.noise,
+            )
+            return x, y, y
         k_x, k_y = jax.random.split(key)
         x = self.sample_x(k_x, batch_size, seq_len)
         y = gp_sample_paths(

@@ -225,3 +225,54 @@ def test_mlp_prior_categorical_discrete_marginals():
     # Discretized-then-z-scored columns have at most n_classes+1 levels; with
     # 8 groups x 8 features some column is near-surely coarse.
     assert min_distinct(x_cat) <= 12
+
+
+def test_gp_grid_fast_path_matches_kernel_statistics():
+    """The grid sampler draws y with the SAME joint distribution as the
+    direct Cholesky path: empirical Cov[y] over many datasets at the
+    sampled x locations must match K(x, x') + noise*I."""
+    from pfn_tpu.priors.gp import GPPrior
+    from pfn_tpu.ops.gp_sample import rbf_kernel
+
+    hp = dict(noise=0.01, outputscale=1.0, lengthscale=0.4)
+    prior = GPPrior(num_features=1, grid=512, **hp)
+    B, T = 4096, 6
+    x, y, ty = jax.jit(lambda k: prior.sample(k, B, T))(jax.random.PRNGKey(0))
+    assert x.shape == (B, T, 1) and y.shape == (B, T)
+    assert (ty == y).all()
+    x_np, y_np = np.asarray(x), np.asarray(y)
+    assert x_np.min() >= 0.0 and x_np.max() <= 1.0
+
+    # Group datasets by nothing — each dataset has its own x, so compare
+    # per-dataset quadratic forms: E[y_i y_j] == K_ij averaged over datasets
+    # normalized by the analytic value. Use the analytic kernel per dataset.
+    K = np.asarray(
+        rbf_kernel(x, x, hp["lengthscale"], hp["outputscale"])
+    ) + hp["noise"] * np.eye(T)
+    emp = y_np[:, :, None] * y_np[:, None, :]  # per-dataset outer product
+    # E over B of emp[b] - K[b] should vanish ~ O(1/sqrt(B)).
+    resid = (emp - K).mean(axis=0)
+    assert np.abs(resid).max() < 0.08, np.abs(resid).max()
+
+    # Determinism + jit stability.
+    x2, y2, _ = jax.jit(lambda k: prior.sample(k, B, T))(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(y2), y_np)
+
+
+def test_gp_grid_repeated_x_share_latent():
+    """Grid collisions are exact GP semantics: identical x within a dataset
+    differ only by observation noise."""
+    from pfn_tpu.priors.gp import GPPrior
+
+    prior = GPPrior(num_features=1, grid=4, noise=1e-8, outputscale=1.0,
+                    lengthscale=0.5)
+    x, y, _ = prior.sample(jax.random.PRNGKey(1), 64, 32)
+    x_np, y_np = np.asarray(x)[..., 0], np.asarray(y)
+    found = 0
+    for b in range(64):
+        for t1 in range(32):
+            dup = np.where(x_np[b] == x_np[b, t1])[0]
+            for t2 in dup[dup > t1]:
+                found += 1
+                assert abs(y_np[b, t1] - y_np[b, t2]) < 1e-3
+    assert found > 10  # grid=4 over 32 points guarantees many collisions
