@@ -23,7 +23,7 @@ applied as unit masks over zeroed weights — the function computed equals the
 smaller sampled network exactly, every shape is static, and the whole prior
 (including meta-randomness) is one jitted, vmapped function. Categorical
 discretization likewise uses a static threshold table (F, max_classes) with
-a per-feature sampled class count mask and a searchsorted bin count, instead
+a per-feature sampled class-count mask and a fused compare-and-reduce bin count, instead
 of the reference's per-feature Python loop over ragged threshold lists.
 """
 
@@ -98,9 +98,9 @@ class MLPPrior:
         ``count % n`` since ``127*n + 1 ≡ 1 (mod n)``.
 
         Static-shape design: a dense (F, max_classes) threshold table with a
-        per-feature class-count mask; the bin count is a vmapped
-        ``searchsorted`` against the sorted active thresholds (inactive
-        thresholds sort to +inf), so no ragged lists or (T, F, C) blowup.
+        per-feature class-count mask; the bin count is one fused broadcast
+        compare-and-reduce over the class axis, so no ragged lists and no
+        sequential search in the hot loop.
         """
         _, _, F = x.shape
         kc = jax.random.split(key, 6)
