@@ -197,7 +197,18 @@ def _grid_factor(G: int, lengthscale: float, outputscale: float):
         raise np.linalg.LinAlgError(
             f"grid kernel not factorizable even at jitter {jitter:g}"
         )
-    return g.astype(np.float32), L.astype(np.float32)
+    # Return DEVICE-resident arrays: a closed-over jax.Array is passed to
+    # the compiled program by reference (constvar), while a closed-over
+    # numpy array would be embedded as a 16 MB literal that this backend
+    # re-uploads per execution (~300 ms/call measured — the whole win gone).
+    # ensure_compile_time_eval forces the transfer to happen EAGERLY even
+    # when this runs inside a jit trace — otherwise device_put would stage
+    # into the jaxpr and the lru_cache would memoize (and leak) a tracer.
+    with jax.ensure_compile_time_eval():
+        return (
+            jax.device_put(jnp.asarray(g, jnp.float32)),
+            jax.device_put(jnp.asarray(L, jnp.float32)),
+        )
 
 
 def gp_sample_paths_grid(
@@ -229,7 +240,6 @@ def gp_sample_paths_grid(
     scalars (they key the cached factor).
     """
     grid, L = _grid_factor(grid_size, float(lengthscale), float(outputscale))
-    grid, L = jnp.asarray(grid), jnp.asarray(L)
     k_idx, k_f, k_n = jax.random.split(key, 3)
     z = jax.random.normal(k_f, (batch_size, grid_size), dtype=jnp.float32)
     # HIGHEST precision: f32 factor feeding noise-scale-1e-2 observations
