@@ -177,13 +177,18 @@ def get_baseline(remeasure: bool = False) -> float:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--grid", type=int, default=0,
-                   help="> 0: GP grid-sampling fast path (e.g. 2048)")
+    p.add_argument("--grid", type=int, default=2048,
+                   help="GP grid-sampling fast path size; 0 = continuous "
+                        "per-dataset Cholesky sampler (~8%% slower, see "
+                        "docs/PERF.md)")
+    p.add_argument("--updates_per_call", type=int, default=10,
+                   help="train steps fused per dispatch (lax.scan)")
     p.add_argument("--remeasure-baseline", action="store_true")
     p.add_argument("--skip-baseline", action="store_true")
     args = p.parse_args()
 
-    value = measure_pfn_tpu(steps=args.steps, grid=args.grid)
+    value = measure_pfn_tpu(steps=args.steps, grid=args.grid,
+                            updates_per_call=args.updates_per_call)
     if args.skip_baseline:
         baseline = None
     else:
