@@ -74,6 +74,19 @@ def main():
     p.add_argument("--eval_batch", type=int, default=32)
     p.add_argument("--skip_eval", action="store_true")
     p.add_argument("--oracle_pass", action="store_true")
+    p.add_argument(
+        "--eval_pos_sampler", default="weighted",
+        choices=["weighted", "uniform"],
+        help="weighted = notebook parity (p(sep) ∝ 1/(max-sep): P(sep<=100) "
+             "is only 0.6%% at bptt=2010, which is why small-context NLL "
+             "converges slowly); uniform = small-context patch schedule",
+    )
+    p.add_argument(
+        "--init_from", default=None,
+        help="warm-start params from the newest checkpoint in this ck dir "
+             "(fresh optimizer state); used with a fresh --out to run a "
+             "short uniform-sampler patch on top of a finished weighted run",
+    )
     args = p.parse_args()
 
     if args.oracle_pass:
@@ -104,12 +117,29 @@ def main():
         batch_size=4, aggregate_k_gradients=25,
         epochs=args.epochs, steps_per_epoch=100,
         lr=1e-4, warmup_epochs=max(2, args.epochs // 25),
-        eval_pos_sampler="weighted", eval_pos_max=min(2000, args.bptt),
+        eval_pos_sampler=args.eval_pos_sampler,
+        eval_pos_max=min(2000, args.bptt),
         dtype=jnp.bfloat16,
         checkpoint_dir=os.path.join(args.out, "ck"),
         checkpoint_every=args.checkpoint_every,
     )
-    result = train(prior, criterion, cfg)
+    init_params = None
+    if args.init_from:
+        from pfn_tpu.train.checkpoints import (
+            latest_state_checkpoint,
+            restore_checkpoint,
+        )
+
+        if latest_state_checkpoint(cfg.checkpoint_dir) is not None:
+            print("own checkpoints exist; resuming those (ignoring --init_from)")
+        else:
+            latest = latest_state_checkpoint(args.init_from)
+            if latest is None:
+                raise SystemExit(f"--init_from {args.init_from}: no checkpoints")
+            restored = restore_checkpoint(latest[0])
+            init_params = restored["state"]["params"]
+            print(f"warm-started params from {latest[0]}")
+    result = train(prior, criterion, cfg, init_params=init_params)
     done = not result.epoch_stats or result.epoch_stats[-1]["epoch"] >= args.epochs
     print(f"trained through epoch "
           f"{result.epoch_stats[-1]['epoch'] if result.epoch_stats else args.epochs}"
