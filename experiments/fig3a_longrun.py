@@ -82,6 +82,12 @@ def main():
              "converges slowly); uniform = small-context patch schedule",
     )
     p.add_argument(
+        "--eval_pos_max", type=int, default=None,
+        help="cap on sampled sep (default min(2000, bptt)); the small-ctx "
+             "patch uses e.g. 300 to concentrate updates on contexts the "
+             "weighted sampler starves",
+    )
+    p.add_argument(
         "--init_from", default=None,
         help="warm-start params from the newest checkpoint in this ck dir "
              "(fresh optimizer state); used with a fresh --out to run a "
@@ -118,7 +124,7 @@ def main():
         epochs=args.epochs, steps_per_epoch=100,
         lr=1e-4, warmup_epochs=max(2, args.epochs // 25),
         eval_pos_sampler=args.eval_pos_sampler,
-        eval_pos_max=min(2000, args.bptt),
+        eval_pos_max=args.eval_pos_max or min(2000, args.bptt),
         dtype=jnp.bfloat16,
         checkpoint_dir=os.path.join(args.out, "ck"),
         checkpoint_every=args.checkpoint_every,
