@@ -23,6 +23,7 @@ TPU-native deviations (documented):
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
 import time
@@ -173,6 +174,57 @@ def gp_metric(x, y, test_x, test_y, cat_features):
     return metric_used(test_y, pred), pred
 
 
+@functools.lru_cache(maxsize=16)
+def _bnn_svi_kernels(F: int, E: int, lr: float, num_steps: int,
+                     num_pred_samples: int):
+    """Jitted (fit, predict) pair for the BNN-SVI baseline, cached on the
+    static configuration.
+
+    Building fresh closures per window defeats jit caching entirely (the
+    cache is keyed on function identity), so a benchmark sweep used to
+    compile a full num_steps-long SVI scan for EVERY window × config —
+    hundreds of large XLA CPU programs that eventually exhausted the LLVM
+    JIT's code memory ('Cannot allocate memory'). With data as traced
+    arguments there is exactly one compile per (F, E, lr) configuration.
+    """
+    from pfn_tpu.evals.inference import svi
+
+    def _logits(theta, X):
+        h = X @ theta["w1"] + theta["b1"]
+        return h @ theta["w2"] + theta["b2"]
+
+    def fit(X, y, key):
+        init = {
+            "w1": 0.1 * jax.random.normal(key, (F, E)),
+            "b1": jnp.zeros(E),
+            "w2": 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (E, 2)),
+            "b2": jnp.zeros(2),
+        }
+
+        def log_joint(theta):
+            log_prior = sum(
+                jnp.sum(-0.5 * p**2 - 0.5 * jnp.log(2 * jnp.pi))
+                for p in jax.tree_util.tree_leaves(theta)
+            )
+            logits = _logits(theta, X)
+            log_lik = jnp.sum(
+                jax.nn.log_softmax(logits)[jnp.arange(y.shape[0]), y]
+            )
+            return log_prior + log_lik
+
+        return svi(log_joint, init, jax.random.fold_in(key, 2),
+                   num_steps=num_steps, lr=lr)
+
+    def predict(guide, X, key):
+        thetas = guide.sample(key, num_pred_samples)
+        probs = jax.vmap(lambda th: jax.nn.softmax(_logits(th, X))[:, 1])(
+            thetas
+        )
+        return probs.mean(axis=0)
+
+    return jax.jit(fit), jax.jit(predict)
+
+
 class BayesianNNClassifier:
     """2-layer BNN classifier with N(0,1) priors fit by SVI — the JAX
     replacement for the reference's Pyro BayesianNNClassifier
@@ -187,50 +239,24 @@ class BayesianNNClassifier:
         self.num_pred_samples = num_pred_samples
         self.seed = seed
 
-    def _logits(self, theta, X):
-        h = X @ theta["w1"] + theta["b1"]
-        return h @ theta["w2"] + theta["b2"]
-
     def fit(self, X, y):
-        from pfn_tpu.evals.inference import svi
-
         X = jnp.asarray(X, jnp.float32)
         y = jnp.asarray(y, jnp.int32)
         F, E = self.num_features, self.embed
-        key = jax.random.PRNGKey(self.seed)
-        init = {
-            "w1": 0.1 * jax.random.normal(key, (F, E)),
-            "b1": jnp.zeros(E),
-            "w2": 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (E, 2)),
-            "b2": jnp.zeros(2),
-        }
-
-        def log_joint(theta):
-            log_prior = sum(
-                jnp.sum(-0.5 * p**2 - 0.5 * jnp.log(2 * jnp.pi))
-                for p in jax.tree_util.tree_leaves(theta)
-            )
-            logits = self._logits(theta, X)
-            log_lik = jnp.sum(
-                jax.nn.log_softmax(logits)[jnp.arange(len(y)), y]
-            )
-            return log_prior + log_lik
-
-        self.guide_ = svi(
-            log_joint, init, jax.random.fold_in(key, 2),
-            num_steps=self.num_steps, lr=self.lr,
+        assert X.shape[1] == F, (X.shape, F)
+        self._fit_fn, self._pred_fn = _bnn_svi_kernels(
+            F, E, self.lr, self.num_steps, self.num_pred_samples
         )
+        self.guide_ = self._fit_fn(X, y, jax.random.PRNGKey(self.seed))
         return self
 
     def predict_proba(self, X):
         X = jnp.asarray(X, jnp.float32)
-        thetas = self.guide_.sample(
-            jax.random.PRNGKey(self.seed + 100), self.num_pred_samples
+        return np.asarray(
+            self._pred_fn(
+                self.guide_, X, jax.random.PRNGKey(self.seed + 100)
+            )
         )
-        probs = jax.vmap(
-            lambda th: jax.nn.softmax(self._logits(th, X))[:, 1]
-        )({k: v for k, v in thetas.items()})
-        return np.asarray(probs.mean(axis=0))
 
 
 def bayes_net_metric(x, y, test_x, test_y, cat_features):

@@ -184,3 +184,28 @@ def test_evaluate_weights_by_valid_window_count():
     weighted = (0.8 * na + 0.2 * nb) / (na + nb)
     assert res["mean_metric_at_10"] == pytest.approx(weighted)
     assert weighted != pytest.approx((0.8 + 0.2) / 2)
+
+
+def test_bnn_svi_classifier_learns_and_caches_compiles():
+    """BayesianNNClassifier separates a linear toy AND two instances with the
+    same configuration share one jitted (fit, predict) pair — the per-window
+    closure rebuild used to force a full SVI-scan recompile every window."""
+    import numpy as np
+
+    from pfn_tpu.evals.tabular import BayesianNNClassifier, metric_used
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(60, 3)).astype(np.float32)
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(np.int64)
+    Xt = rng.normal(size=(40, 3)).astype(np.float32)
+    yt = (Xt[:, 0] + 0.5 * Xt[:, 1] > 0).astype(np.int64)
+
+    a = BayesianNNClassifier(3, embed=5, num_steps=150).fit(X, y)
+    auc = metric_used(yt, a.predict_proba(Xt))
+    assert auc > 0.9, auc
+
+    b = BayesianNNClassifier(3, embed=5, num_steps=150).fit(X, y)
+    assert a._fit_fn is b._fit_fn and a._pred_fn is b._pred_fn
+    np.testing.assert_allclose(
+        a.predict_proba(Xt), b.predict_proba(Xt), rtol=1e-6
+    )
