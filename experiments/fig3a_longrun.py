@@ -69,6 +69,7 @@ def main():
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--bptt", type=int, default=2010)
     p.add_argument("--num_buckets", type=int, default=1000)
+    p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--checkpoint_every", type=int, default=20)
     p.add_argument("--out", default="results/fig3a")
     p.add_argument("--eval_batch", type=int, default=32)
@@ -122,7 +123,7 @@ def main():
         emsize=512, nhid=1024, nlayers=6, nhead=4, bptt=args.bptt,
         batch_size=4, aggregate_k_gradients=25,
         epochs=args.epochs, steps_per_epoch=100,
-        lr=1e-4, warmup_epochs=max(2, args.epochs // 25),
+        lr=args.lr, warmup_epochs=max(2, args.epochs // 25),
         eval_pos_sampler=args.eval_pos_sampler,
         eval_pos_max=args.eval_pos_max or min(2000, args.bptt),
         dtype=jnp.bfloat16,
