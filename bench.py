@@ -31,7 +31,7 @@ GP_HP = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 
-def measure_pfn_tpu(steps: int = 20, warmup: int = 3, updates_per_call: int = 10,
+def measure_pfn_tpu(steps: int = 20, warmup: int = 3, updates_per_call: int = 25,
                     grid: int = 0) -> float:
     import jax
     import jax.numpy as jnp
@@ -181,7 +181,7 @@ def main():
                    help="GP grid-sampling fast path size; 0 = continuous "
                         "per-dataset Cholesky sampler (~8%% slower, see "
                         "docs/PERF.md)")
-    p.add_argument("--updates_per_call", type=int, default=10,
+    p.add_argument("--updates_per_call", type=int, default=25,
                    help="train steps fused per dispatch (lax.scan)")
     p.add_argument("--remeasure-baseline", action="store_true")
     p.add_argument("--skip-baseline", action="store_true")
