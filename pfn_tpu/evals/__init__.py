@@ -7,6 +7,7 @@ from pfn_tpu.evals.oracles import (
 )
 from pfn_tpu.evals.harness import (
     eval_positional_loss,
+    eval_positional_loss_per_dataset,
     make_mean_mse_validator,
     pfn_predict,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "ridge_evaluate",
     "bayes_linreg_posterior",
     "eval_positional_loss",
+    "eval_positional_loss_per_dataset",
     "make_mean_mse_validator",
     "pfn_predict",
     "comparison",

@@ -38,6 +38,39 @@ def _positional_losses(model, params, criterion, x, y, target_y, positions):
     return jax.lax.map(one, positions)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _positional_losses_per_dataset(
+    model, params, criterion, x, y, target_y, positions
+):
+    def one(sep):
+        out = pfn_predict(model, params, x, y, sep)
+        losses = criterion.per_position(out, target_y)  # (B, T)
+        return losses[:, sep]  # (B,)
+
+    return jax.lax.map(one, positions)  # (P, B)
+
+
+def eval_positional_loss_per_dataset(
+    model, params, criterion, x, y, target_y=None, positions=None
+):
+    """Per-dataset variant of :func:`eval_positional_loss`: returns the raw
+    (len(positions), B) loss matrix instead of its batch mean/std.
+
+    Per-position NLL is heavy-tailed across prior draws (one hard dataset
+    can dominate a 32-draw mean), so robust summaries (median, bootstrap
+    CIs) and chunked large-sample evals need the per-dataset values.
+    """
+    T = x.shape[1]
+    positions = (
+        jnp.arange(1, T) if positions is None else jnp.asarray(positions)
+    )
+    if target_y is None:
+        target_y = y
+    return _positional_losses_per_dataset(
+        model, params, criterion, x, y, target_y, positions
+    )
+
+
 def eval_positional_loss(
     model,
     params,

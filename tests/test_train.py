@@ -135,6 +135,17 @@ def test_eval_harness_runs():
     )
     assert means.shape == (3,)
     assert np.isfinite(np.asarray(means)).all()
+    # The per-dataset matrix averages to the same positional means.
+    from pfn_tpu.evals.harness import eval_positional_loss_per_dataset
+
+    per = eval_positional_loss_per_dataset(
+        result.model, result.params, crit, x, y, target_y,
+        positions=[1, 5, 10],
+    )
+    assert per.shape == (3, 32)
+    np.testing.assert_allclose(
+        np.asarray(per).mean(axis=1), np.asarray(means), rtol=1e-5
+    )
     # Posterior-summary path works on eval logits.
     logits = pfn_predict(result.model, result.params, x, y, 10)
     mean_pred = crit.mean(logits)
