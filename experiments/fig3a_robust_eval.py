@@ -43,16 +43,25 @@ def oracle_pass(out_dir: str, chunk: int):
     x, y, positions = data["x"], data["y"], data["positions"]
     per_nominal, per_eff = [], []
     for s in range(0, len(x), chunk):
-        xb = jnp.asarray(x[s : s + chunk])
-        yb = jnp.asarray(y[s : s + chunk])
-        all_n, _, _ = gp_exact_evaluate(
-            xb, yb, GP_HP, positions=jnp.asarray(positions),
-            dtype=jnp.float64,
-        )
-        all_e, _, _ = gp_exact_evaluate(
-            xb, yb, dict(GP_HP, noise=1e-3), positions=jnp.asarray(positions),
-            dtype=jnp.float64,
-        )
+        # Per-chunk checkpoint files: each f64 chunk is ~7 min of CPU, so a
+        # killed run resumes instead of recomputing everything.
+        part = os.path.join(out_dir, f"oracle_chunk_{s // chunk:03d}.npz")
+        if os.path.exists(part):
+            p = np.load(part)
+            all_n, all_e = p["nominal"], p["effective"]
+        else:
+            xb = jnp.asarray(x[s : s + chunk])
+            yb = jnp.asarray(y[s : s + chunk])
+            all_n, _, _ = gp_exact_evaluate(
+                xb, yb, GP_HP, positions=jnp.asarray(positions),
+                dtype=jnp.float64,
+            )
+            all_e, _, _ = gp_exact_evaluate(
+                xb, yb, dict(GP_HP, noise=1e-3),
+                positions=jnp.asarray(positions), dtype=jnp.float64,
+            )
+            np.savez(part, nominal=np.asarray(all_n),
+                     effective=np.asarray(all_e))
         per_nominal.append(np.asarray(all_n))  # (P, chunk)
         per_eff.append(np.asarray(all_e))
         print(f"oracle chunk {s // chunk + 1} done", flush=True)
