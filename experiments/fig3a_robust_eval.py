@@ -83,11 +83,24 @@ def main():
     p.add_argument("--seed", type=int, default=991)
     p.add_argument("--oracle_pass", action="store_true")
     p.add_argument("--oracle_chunk", type=int, default=32)
+    p.add_argument("--stats_only", action="store_true",
+                   help="recompute the summary JSON from the saved "
+                        "pfn_per_dataset.npy + oracle_per_dataset.npz")
     p.add_argument("--label", default="")
     args = p.parse_args()
 
     if args.oracle_pass:
         oracle_pass(args.out, args.oracle_chunk)
+        return
+    if args.stats_only:
+        import numpy as np
+
+        pfn_mat = np.load(os.path.join(args.out, "pfn_per_dataset.npy"))
+        orc = np.load(os.path.join(args.out, "oracle_per_dataset.npz"))
+        positions = np.load(os.path.join(args.out, "eval_data.npz"))[
+            "positions"
+        ]
+        _write_stats(args, pfn_mat, orc, positions, checkpoint="(stats only)")
         return
 
     import jax
@@ -157,14 +170,18 @@ def main():
             check=True,
         )
     orc = np.load(orc_path)
+    _write_stats(args, pfn_mat, orc, positions, checkpoint=latest[0])
+
+
+def _write_stats(args, pfn_mat, orc, positions, checkpoint):
+    import numpy as np
 
     rng = np.random.default_rng(0)
     out = {"positions": np.asarray(positions).tolist(),
            "n_datasets": int(pfn_mat.shape[1]),
-           "checkpoint": latest[0], "label": args.label}
-    for name, mat in [("nominal", orc["nominal"]),
-                      ("effective", orc["effective"])]:
-        gap = pfn_mat - mat  # (P, N)
+           "checkpoint": checkpoint, "label": args.label}
+    for name in ("nominal", "effective"):
+        gap = pfn_mat - orc[name]  # (P, N)
         boots = np.stack([
             gap[:, rng.integers(0, gap.shape[1], gap.shape[1])].mean(axis=1)
             for _ in range(1000)
