@@ -20,6 +20,8 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 
@@ -166,12 +168,67 @@ def get_baseline(remeasure: bool = False) -> float:
                 "config": dict(
                     batch_size=BATCH_SIZE, bptt=BPTT, emsize=EMSIZE,
                     nhead=NHEAD, nhid=NHID, nlayers=NLAYERS,
+                    sampling="exact per-batch Cholesky (no grid fast path)",
                 ),
             },
             f,
             indent=2,
         )
     return value
+
+
+def _measure_with_retries(args):
+    """Run the TPU measurement in a child process with bounded retries.
+
+    The axon TPU backend can be transiently UNAVAILABLE (it was at round-2
+    capture time, costing the round its perf record — BENCH_r02.json rc=1).
+    A failed backend init poisons the JAX process, so each attempt must be a
+    fresh interpreter: we re-exec ourselves with --_measure-child, parse the
+    single JSON line it prints, and back off between failures.
+    """
+    delays = [0, 15, 30, 60, 120, 240]
+    last_err = "no attempts made"
+    for attempt, delay in enumerate(delays):
+        if delay:
+            time.sleep(delay)
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--_measure-child",
+            "--steps", str(args.steps), "--grid", str(args.grid),
+            "--updates_per_call", str(args.updates_per_call),
+        ]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=900)
+        except subprocess.TimeoutExpired:
+            last_err = "attempt %d: timed out after 900s (backend hang?)" % attempt
+            continue
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                payload = json.loads(line)
+            except ValueError:
+                continue
+            if "value" in payload:
+                return payload["value"], None
+            if "error" in payload:
+                last_err = "attempt %d: %s" % (attempt, payload["error"])
+                break
+        else:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            last_err = "attempt %d: rc=%d %s" % (
+                attempt, proc.returncode, " | ".join(tail[-3:]))
+    return None, last_err
+
+
+def _measure_child(args):
+    """One measurement attempt in this process; prints one JSON line."""
+    try:
+        value = measure_pfn_tpu(steps=args.steps, grid=args.grid,
+                                updates_per_call=args.updates_per_call)
+        print(json.dumps({"value": value}))
+        return 0
+    except Exception as e:  # noqa: BLE001 - reported upward as structured JSON
+        print(json.dumps({"error": "%s: %s" % (type(e).__name__, str(e)[:500])}))
+        return 1
 
 
 def main():
@@ -185,10 +242,24 @@ def main():
                    help="train steps fused per dispatch (lax.scan)")
     p.add_argument("--remeasure-baseline", action="store_true")
     p.add_argument("--skip-baseline", action="store_true")
+    p.add_argument("--_measure-child", action="store_true",
+                   help=argparse.SUPPRESS)
     args = p.parse_args()
 
-    value = measure_pfn_tpu(steps=args.steps, grid=args.grid,
-                            updates_per_call=args.updates_per_call)
+    if getattr(args, "_measure_child"):
+        sys.exit(_measure_child(args))
+
+    value, err = _measure_with_retries(args)
+    if value is None:
+        print(json.dumps({
+            "metric": "prior-batches/sec (GP sample + train step, bptt=100)",
+            "value": None,
+            "unit": "batches/sec",
+            "vs_baseline": None,
+            "error": err,
+        }))
+        sys.exit(3)
+
     if args.skip_baseline:
         baseline = None
     else:
@@ -203,6 +274,9 @@ def main():
                 "value": round(value, 3),
                 "unit": "batches/sec",
                 "vs_baseline": round(value / baseline, 3) if baseline else None,
+                "config": {"grid": args.grid,
+                           "updates_per_call": args.updates_per_call,
+                           "batch_size": BATCH_SIZE, "bptt": BPTT},
             }
         )
     )

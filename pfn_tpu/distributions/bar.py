@@ -107,11 +107,18 @@ class BarDistribution:
         ``logits``: (..., num_bars); ``y``: (...). Returns (...).
         Parity: BarDistribution.forward (bar_distribution.py:25-33). Targets
         outside the support are clamped to the end buckets (the reference
-        asserts instead; use :func:`check_support` in debug paths).
+        asserts instead, bar_distribution.py:27-28); under
+        :func:`pfn_tpu.utils.profiling.pfn_debug_checks` they instead poison
+        the NLL with NaN so jax_debug_nans raises at this op.
         """
         idx = jnp.clip(self.map_to_bucket_idx(y), 0, self.num_bars - 1)
         log_probs = self._bucket_log_probs(logits)
         picked = jnp.take_along_axis(log_probs, idx[..., None], axis=-1)[..., 0]
+        from pfn_tpu.utils.profiling import debug_checks_enabled
+
+        if debug_checks_enabled():  # trace-time flag; see pfn_debug_checks
+            with jax.named_scope("bar_target_support_check"):
+                picked = jnp.where(self.check_support(y), picked, jnp.nan)
         return -picked
 
     def __call__(self, logits: jax.Array, y: jax.Array) -> jax.Array:

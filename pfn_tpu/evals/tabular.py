@@ -19,6 +19,11 @@ TPU-native deviations (documented):
   * The BNN baseline's Pyro SVI is replaced by pfn_tpu.evals.inference.svi.
   * XGBoost/CatBoost hooks exist but raise ImportError in environments
     without those packages.
+  * ``mean_metric_at_{pos}`` is a valid-window-count-WEIGHTED mean across
+    datasets (a dataset with 2 valid windows must not weigh like one with
+    40), deviating from the reference's unweighted per-dataset mean
+    (tabular.py:209). The reference-parity unweighted statistic is kept
+    alongside as ``mean_metric_at_{pos}_unweighted`` / ``mean_metric_unweighted``.
 """
 
 from __future__ import annotations
@@ -429,10 +434,24 @@ def evaluate(
         means = np.asarray(
             [result[f"{d[0]}_mean_metric_at_{pos}"] for d in datasets]
         )
+        # A dataset with zero valid windows has mean NaN (empty .mean());
+        # zero both its weight and its contribution so it truly drops out
+        # instead of poisoning the aggregate.
+        means = np.where(counts > 0, np.nan_to_num(means), 0.0)
         result[f"mean_metric_at_{pos}"] = float(
             np.sum(means * counts) / np.maximum(np.sum(counts), 1.0)
         )
+        # Reference-parity statistic: the unweighted per-dataset mean
+        # (reference tabular.py:209) so numbers stay directly comparable
+        # to reference-protocol results and this repo's pre-weighting runs.
+        valid = counts > 0
+        result[f"mean_metric_at_{pos}_unweighted"] = float(
+            np.mean(means[valid]) if valid.any() else 0.0
+        )
     result["mean_metric"] = float(
         np.mean([result[f"mean_metric_at_{pos}"] for pos in eval_positions])
+    )
+    result["mean_metric_unweighted"] = float(
+        np.mean([result[f"mean_metric_at_{pos}_unweighted"] for pos in eval_positions])
     )
     return result

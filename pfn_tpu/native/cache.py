@@ -362,15 +362,33 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        import queue
+
         if self._done:
             raise StopIteration
-        item = self._queue.get()
-        if item is _SENTINEL:
-            self._done = True
-            if self._error is not None:
-                raise self._error  # surface the worker's failure, not a bare stop
-            raise StopIteration
-        return item
+        while True:
+            try:
+                item = self._queue.get(timeout=0.5)
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    # Worker exited without us ever seeing its sentinel —
+                    # possible when the bounded sentinel put (worker
+                    # `finally`) gave up while the consumer stalled >60 s
+                    # (e.g. an XLA compile on a 1-core host). Treat
+                    # "empty queue + dead worker" as end-of-stream so the
+                    # consumer can never block forever, and surface any
+                    # stored worker failure instead of losing it.
+                    self._done = True
+                    if self._error is not None:
+                        raise self._error
+                    raise StopIteration
+                continue
+            if item is _SENTINEL:
+                self._done = True
+                if self._error is not None:
+                    raise self._error  # surface the worker's failure, not a bare stop
+                raise StopIteration
+            return item
 
     def close(self):
         self._done = True  # further __next__ raises StopIteration immediately

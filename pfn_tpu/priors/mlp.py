@@ -124,8 +124,9 @@ class MLPPrior:
         n_cls = jnp.where(
             is_ordinal,
             scaled_beta(kc[3], 0.1, 2.0, maxc, 1, (F,)),
-            scaled_beta(kc[3], 0.1, 2.0, self.max_categorical_classes, 1, (F,)),
-        )  # (F,)
+            scaled_beta(kc[5], 0.1, 2.0, self.max_categorical_classes, 1, (F,)),
+        )  # (F,) — ordinal and nominal tables from independent keys, matching
+        # the reference's independent draws (mlp.py:164-170)
         thr = jax.random.uniform(kc[4], (F, maxc)) - 0.5
         active = jnp.arange(maxc)[None, :] < n_cls[:, None]
         z = normalize_data(x, axis=1)  # per-dataset seq z-score (mlp.py:163)

@@ -10,11 +10,17 @@ from pfn_tpu.utils.samplers import (
     uniform_single_eval_pos,
     make_eval_pos_weights,
 )
-from pfn_tpu.utils.profiling import StepTimers, debug_nans, trace
+from pfn_tpu.utils.profiling import (
+    StepTimers,
+    debug_nans,
+    pfn_debug_checks,
+    trace,
+)
 
 __all__ = [
     "StepTimers",
     "debug_nans",
+    "pfn_debug_checks",
     "trace",
     "cosine_schedule_with_warmup",
     "linear_schedule_with_warmup",

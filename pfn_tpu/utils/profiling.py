@@ -100,6 +100,47 @@ def debug_nans(enable: bool = True):
         jax.config.update("jax_debug_nans", prev)
 
 
+# Module-level flag read at TRACE time by debug-checkable ops (currently
+# BarDistribution.nll's target-support check). pfn_debug_checks() clears the
+# jit caches on enter/exit so already-compiled steps are retraced with the
+# flag's value baked in.
+_DEBUG_CHECKS = False
+
+
+def debug_checks_enabled() -> bool:
+    return _DEBUG_CHECKS
+
+
+@contextlib.contextmanager
+def pfn_debug_checks(enable: bool = True):
+    """Scoped strict-checks mode — the analog of the reference's inline
+    asserts that the fast path intentionally elides.
+
+    Effects while active:
+      * ``BarDistribution.nll`` poisons out-of-support targets with NaN
+        instead of silently clamping them to the end buckets (the reference
+        asserts at bar_distribution.py:27-28) — so a mis-scaled prior (e.g.
+        a custom module prior emitting y beyond the borders) fails loudly
+        instead of training on end-bucket NLLs.
+      * ``jax_debug_nans`` is enabled, so that NaN (or any other) raises
+        FloatingPointError at the offending op.
+
+    jit caches are cleared on enter AND exit: the flag is consulted when a
+    function is traced, so cached executables from outside the scope must
+    not leak in (or out).
+    """
+    global _DEBUG_CHECKS
+    prev = _DEBUG_CHECKS
+    _DEBUG_CHECKS = enable
+    jax.clear_caches()
+    with debug_nans(enable):
+        try:
+            yield
+        finally:
+            _DEBUG_CHECKS = prev
+            jax.clear_caches()
+
+
 def annotate(name: str):
     """Decorator: name a function's ops in profiler traces."""
 

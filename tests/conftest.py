@@ -44,10 +44,14 @@ _QUICK_TESTS = {
     "test_bar_distribution.py::test_quantile_interval",
     "test_bar_distribution.py::test_sampling_matches_distribution",
     "test_bayesopt.py::test_ei_prefers_high_mean_bucket",
+    "test_bench_harness.py::test_retry_recovers_after_transient_failures",
+    "test_bench_harness.py::test_retry_exhaustion_reports_structured_error",
     "test_bayesopt.py::test_pi_monotone_in_best_f",
     "test_bayesopt.py::test_scores_jit_stable_across_num_obs",
     "test_checkpoints.py::test_torch_export_roundtrip",
     "test_comparison.py::test_conf_interval",
+    "test_debug_checks.py::test_nll_poisons_out_of_support_only_in_debug_mode",
+    "test_debug_checks.py::test_in_support_targets_unaffected_by_debug_mode",
     "test_comparison.py::test_log_joint_finite_and_peaked_at_truth",
     "test_config.py::test_yaml_roundtrip",
     "test_flash_attention.py::test_flash_bf16_close_to_f32_dense",
