@@ -71,6 +71,16 @@ def main():
     p.add_argument("--num_buckets", type=int, default=1000)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--checkpoint_every", type=int, default=20)
+    p.add_argument(
+        "--batch_size", type=int, default=4,
+        help="fused microbatch size; with --agg keeps the notebook's "
+             "schedule (100 datasets/update, 4 updates/epoch) as long as "
+             "batch_size*agg == 100. The 4x25 default is the reference "
+             "GPU's memory-forced shape; see results/batch_sweep.json for "
+             "the measured TPU-optimal shape (experiments/batch_shape_sweep.py)",
+    )
+    p.add_argument("--agg", type=int, default=25,
+                   help="aggregate_k_gradients (microbatches per update)")
     p.add_argument("--out", default="results/fig3a")
     p.add_argument("--eval_batch", type=int, default=32)
     p.add_argument("--skip_eval", action="store_true")
@@ -119,10 +129,14 @@ def main():
         get_bucket_limits(args.num_buckets, ys=ys)
     )
 
+    assert args.batch_size * args.agg == 100, (
+        "keep the notebook schedule: batch_size*agg must equal 100 "
+        "datasets/update (got %d x %d)" % (args.batch_size, args.agg)
+    )
     cfg = TrainConfig(
         emsize=512, nhid=1024, nlayers=6, nhead=4, bptt=args.bptt,
-        batch_size=4, aggregate_k_gradients=25,
-        epochs=args.epochs, steps_per_epoch=100,
+        batch_size=args.batch_size, aggregate_k_gradients=args.agg,
+        epochs=args.epochs, steps_per_epoch=4 * args.agg,
         lr=args.lr, warmup_epochs=max(2, args.epochs // 25),
         eval_pos_sampler=args.eval_pos_sampler,
         eval_pos_max=args.eval_pos_max or min(2000, args.bptt),

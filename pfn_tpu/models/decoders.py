@@ -11,7 +11,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-_TEMPERATURES = jnp.array([1.0, 1.4, 1.7, 2.0, 5.0, 10.0, 20.0, 40.0, 80.0, 160.0])
+# Host-side constant: creating a device array at import time would commit
+# the default backend before callers can select a platform (and hang the
+# whole library import when the TPU tunnel is down).
+_TEMPERATURES = (1.0, 1.4, 1.7, 2.0, 5.0, 10.0, 20.0, 40.0, 80.0, 160.0)
 
 
 class MLPDecoder(nn.Module):
@@ -38,7 +41,9 @@ class ScaledDecoder(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.nhid, name="linear")(x)
         h = nn.gelu(h)
-        temps = nn.softmax(nn.Dense(10, name="linear2")(h)) @ _TEMPERATURES
+        temps = nn.softmax(nn.Dense(10, name="linear2")(h)) @ jnp.asarray(
+            _TEMPERATURES
+        )
         return nn.Dense(self.n_out, name="linear1")(h) / temps[..., None]
 
 

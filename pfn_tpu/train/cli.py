@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         "prior.kwargs.lengthscale=0.6 (replaces StoreDictKeyPair, "
         "reference utils.py:99-113)",
     )
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the env pins JAX_PLATFORMS; only an "
+        "in-process jax.config update overrides it — same flag as the "
+        "experiment drivers)",
+    )
     p.add_argument("--checkpoint", default=None, help="save trained params here")
     p.add_argument(
         "--warm_start", default=None,
@@ -90,6 +96,10 @@ def config_from_args(args) -> config_lib.ExperimentConfig:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     cfg = config_from_args(args)
     prior, criterion, train_cfg, mesh = config_lib.build(cfg)
 
