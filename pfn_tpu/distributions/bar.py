@@ -260,6 +260,84 @@ class FullSupportBarDistribution(BarDistribution):
         p = jax.nn.softmax(logits, axis=-1)
         return p @ means
 
+    def gaussian_cross_entropy(
+        self, logits: jax.Array, mu: jax.Array, var: jax.Array
+    ) -> jax.Array:
+        """Closed-form E_{y~N(mu,var)}[self.nll(logits, y)].
+
+        Rao-Blackwellized Fig-3a gap: the reference scores a SINGLE sampled
+        query y per (dataset, context size), so the PFN-vs-oracle gap
+        estimator inherits the full sampling variance of that draw (measured:
+        ±0.3 nats between 32-dataset draws). When the true posterior
+        predictive is Gaussian — as for the exact-GP oracle — the expected
+        NLL over the query draw has a closed form, and
+
+            E_D E_{y|D}[nll_PFN - nll_oracle] = E_D[KL(N(mu,var) || bar)]
+
+        so per-dataset ``gaussian_cross_entropy - gaussian_entropy`` is an
+        unbiased estimator of the SAME population gap with the query-y noise
+        integrated out analytically. No reference equivalent (the reference
+        never quantifies its Fig-3a eval noise).
+
+        Derivation: the FullSupport density is p_0·HN(b_1 - y; s0) on
+        (-inf, b_1), p_k/w_k on [b_k, b_{k+1}) for inner k, and
+        p_{K-1}·HN(y - b_{K-1}; s1) on [b_{K-1}, inf). Inner buckets
+        contribute P_k·(log w_k - log p_k) with P_k the Gaussian bucket mass;
+        each tail contributes P_tail·(-log p_tail + log s - log sqrt(2/pi))
+        + E[D^2·1{D>0}]/(2 s^2) with D the (signed) distance past the inner
+        border, using the truncated second moment
+        E[D^2·1{D>0}] = (m^2+v)·Phi(m/sd) + m·sd·phi(m/sd) for D~N(m, v).
+
+        ``logits``: (..., num_bars); ``mu``/``var`` broadcastable to (...).
+        Computed in the dtype of ``mu`` (pass float64 under x64 for
+        many-bucket precision; adjacent-CDF differences cancel in f32 at
+        num_bars >~ 1000). Returns (...).
+        """
+        dtype = jnp.result_type(mu, var)
+        borders = self.borders.astype(dtype)
+        widths = borders[1:] - borders[:-1]
+        lp = jax.nn.log_softmax(logits.astype(dtype), axis=-1)
+        mu = jnp.asarray(mu, dtype)
+        sd = jnp.sqrt(jnp.asarray(var, dtype))
+        sqrt2 = math.sqrt(2.0)
+
+        z = (borders - mu[..., None]) / sd[..., None]  # (..., K+1)
+        cdf = 0.5 * (1.0 + jax.scipy.special.erf(z / sqrt2))
+        pk = cdf[..., 1:] - cdf[..., :-1]  # (..., K)
+        ce = jnp.sum(
+            pk[..., 1:-1] * (jnp.log(widths[1:-1]) - lp[..., 1:-1]), axis=-1
+        )
+
+        def tail(m, log_p_tail, scale):
+            # m: signed distance from the inner border into the tail.
+            zz = m / sd
+            phi = jnp.exp(-0.5 * zz * zz) / math.sqrt(2.0 * math.pi)
+            # Phi via erfc, NOT erf: f32 erf saturates 1 ULP below +-1, and
+            # the phantom ~1e-7 tail mass is amplified by the 1/scale^2 of
+            # the E[D^2] term into ~1e-2 nats when the end buckets are
+            # narrow. erfc underflows to an exact 0.
+            big_phi = 0.5 * jax.scipy.special.erfc(-zz / sqrt2)
+            e2 = (m * m + sd * sd) * big_phi + m * sd * phi
+            return big_phi * (
+                -log_p_tail + jnp.log(scale) - _HALF_LOG_2_OVER_PI
+            ) + e2 / (2.0 * scale * scale)
+
+        s0, s1 = self._tail_scales()
+        ce = ce + tail(borders[1] - mu, lp[..., 0], s0.astype(dtype))
+        ce = ce + tail(mu - borders[-2], lp[..., -1], s1.astype(dtype))
+        return ce
+
+    def gaussian_kl(
+        self, logits: jax.Array, mu: jax.Array, var: jax.Array
+    ) -> jax.Array:
+        """KL(N(mu, var) || bar(logits)) in closed form (>= 0); see
+        :meth:`gaussian_cross_entropy`."""
+        dtype = jnp.result_type(mu, var)
+        entropy = 0.5 * jnp.log(
+            2.0 * math.pi * math.e * jnp.asarray(var, dtype)
+        )
+        return self.gaussian_cross_entropy(logits, mu, var) - entropy
+
     def sample(self, key: jax.Array, logits: jax.Array) -> jax.Array:
         """Posterior draw honoring the half-normal tails: edge-bucket
         samples come from the tail distribution (the base class would

@@ -71,6 +71,27 @@ def eval_positional_loss_per_dataset(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _positional_logits(model, params, x, y, positions):
+    def one(sep):
+        out = pfn_predict(model, params, x, y, sep)
+        return out[:, sep, :]  # (B, n_out)
+
+    return jax.lax.map(one, positions)  # (P, B, n_out)
+
+
+def eval_positional_logits_per_dataset(model, params, x, y, positions):
+    """Raw head outputs at each context size: (len(positions), B, n_out).
+
+    The logits at row t of a forward with single_eval_pos=t — the PFN's
+    posterior predictive for dataset b at context size t. Feeds analytic
+    scoring against a Gaussian oracle (BarDistribution.gaussian_cross_entropy)
+    where the per-draw NLL of :func:`eval_positional_loss_per_dataset` would
+    carry the query-sample noise.
+    """
+    return _positional_logits(model, params, x, y, jnp.asarray(positions))
+
+
 def eval_positional_loss(
     model,
     params,

@@ -95,6 +95,51 @@ def gp_exact_evaluate(
     return all_losses, mean_losses, time.time() - t0
 
 
+def gp_exact_posterior_moments(
+    x: jax.Array,
+    y: jax.Array,
+    hyperparameters: dict | None = None,
+    positions=None,
+    kernel=rbf_kernel,
+    dtype=jnp.float32,
+):
+    """Exact GP posterior predictive moments (mean, variance incl.
+    observation noise) at x[t] given (x[:t], y[:t]) for each t in
+    ``positions``. Same conditioning sweep as :func:`gp_exact_evaluate`
+    (reference fast_gp.py:88-120) but returning the Gaussian itself instead
+    of a single-sample NLL — the oracle side of the Rao-Blackwellized gap
+    (see BarDistribution.gaussian_cross_entropy).
+
+    x: (B, T, F), y: (B, T). Returns (means (P, B), vars (P, B)).
+    """
+    hp = hyperparameters or {"noise": 0.1, "outputscale": 0.1, "lengthscale": 0.1}
+    B, T, _ = x.shape
+    ts = jnp.arange(1, T) if positions is None else jnp.asarray(positions)
+
+    @jax.jit
+    def moments_for_all_t():
+        def one_t(t):
+            mask = jnp.arange(T) < t
+
+            def one_b(xb, yb):
+                mean, var = gp_posterior(
+                    xb, yb, xb,
+                    lengthscale=hp["lengthscale"],
+                    outputscale=hp["outputscale"],
+                    noise=hp["noise"],
+                    kernel=kernel,
+                    context_mask=mask,
+                    dtype=dtype,
+                )
+                return mean[t], var[t]
+
+            return jax.vmap(one_b)(x, y)  # ((B,), (B,))
+
+        return jax.lax.map(one_t, ts)  # ((P, B), (P, B))
+
+    return moments_for_all_t()
+
+
 def ridge_evaluate(x: jax.Array, y: jax.Array, y_non_noisy: jax.Array, alpha: float = 0.0):
     """Ridge-regression point predictions (with intercept, like sklearn's
     default used at reference priors/ridge.py:28-30), refit at every context

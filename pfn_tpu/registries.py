@@ -188,6 +188,9 @@ def _register_builtins():
     EVAL_POS_SAMPLERS.register(
         "weighted", lambda max_len: make_eval_pos_weights(max_len, "weighted")
     )
+    EVAL_POS_SAMPLERS.register(
+        "mixture", lambda max_len: make_eval_pos_weights(max_len, "mixture")
+    )
 
 
 _register_builtins()

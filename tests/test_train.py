@@ -150,3 +150,30 @@ def test_eval_harness_runs():
     logits = pfn_predict(result.model, result.params, x, y, 10)
     mean_pred = crit.mean(logits)
     assert mean_pred.shape == (32, 20)
+
+
+def test_mixture_eval_pos_sampler_floors_small_contexts():
+    """The mixture sampler guarantees small-context coverage that the pure
+    weighted sampler starves (p(i<50) ~ 2% at max_len=2000), while keeping
+    most mass on the weighted long-context profile."""
+    from pfn_tpu.utils.samplers import make_eval_pos_weights
+
+    max_len = 2000
+    w = make_eval_pos_weights(max_len, "weighted")
+    w = w / w.sum()
+    m = make_eval_pos_weights(max_len, "mixture")
+    np.testing.assert_allclose(float(m.sum()), 1.0, rtol=1e-5)
+    # Uniform floor: every position < 300 gets at least 0.1/300.
+    assert float(m[:300].min()) >= 0.1 / 300 - 1e-9
+    # Small-context mass is boosted ~5x over pure weighted...
+    assert float(m[:50].sum()) > 4 * float(w[:50].sum())
+    # ...while the long-context tail keeps >= 85% of its weighted mass.
+    assert float(m[1000:].sum()) > 0.85 * float(w[1000:].sum())
+
+    # Registered and drawable inside the jitted step.
+    from pfn_tpu.train.loop import _sample_eval_pos
+
+    cfg = TrainConfig(bptt=64, eval_pos_sampler="mixture")
+    draws = [int(_sample_eval_pos(jax.random.PRNGKey(i), cfg))
+             for i in range(32)]
+    assert all(0 <= d < 64 for d in draws) and len(set(draws)) > 5
