@@ -80,6 +80,10 @@ class TransformerConfig:
     # token construction and after every encoder layer so FFN/LayerNorm run
     # sequence-sharded; attention gathers K/V over 'sp' (XLA SPMD).
     token_sharding: Any = None
+    # The device mesh, when training under one: non-dense attention then runs
+    # inside a shard_map region (ops.attention.pfn_sharded_attention — the
+    # composition Pallas requires; GSPMD cannot auto-partition a kernel).
+    mesh: Any = None
     # Mixture-of-Experts FFN (0 = dense FFN, the reference architecture).
     # When > 0, every layer's FFN becomes a Switch-style top-1 MoE
     # (models/moe.py); expert_sharding places the dispatched (B, E, C, D)
@@ -100,6 +104,7 @@ class MultiheadPFNAttention(nn.Module):
     nhead: int
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, single_eval_pos):
@@ -118,7 +123,10 @@ class MultiheadPFNAttention(nn.Module):
             qkv[:, :, 1].transpose(0, 2, 1, 3),
             qkv[:, :, 2].transpose(0, 2, 1, 3),
         )  # (B, H, T, Dh)
-        out = pfn_attention(q, k, v, single_eval_pos, impl=self.attention_impl)
+        out = pfn_attention(
+            q, k, v, single_eval_pos, impl=self.attention_impl,
+            mesh=self.mesh,
+        )
         out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
         return nn.Dense(
             D,
@@ -140,6 +148,7 @@ class PFNEncoderLayer(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    mesh: Any = None
     num_experts: int = 0
     moe_capacity_factor: float = 1.25
     expert_sharding: Any = None
@@ -151,6 +160,7 @@ class PFNEncoderLayer(nn.Module):
             self.nhead,
             dtype=self.dtype,
             attention_impl=self.attention_impl,
+            mesh=self.mesh,
             name="self_attn",
         )(x, single_eval_pos)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
@@ -251,6 +261,7 @@ class PFNTransformer(nn.Module):
                 cfg.dropout,
                 dtype=cfg.dtype,
                 attention_impl=cfg.attention_impl,
+                mesh=cfg.mesh,
                 num_experts=cfg.num_experts,
                 moe_capacity_factor=cfg.moe_capacity_factor,
                 expert_sharding=cfg.expert_sharding,

@@ -42,14 +42,30 @@ def _choose_block(batch_heads: int) -> int:
     return 256 if batch_heads >= 64 else BLOCK
 
 
-def _block_mask(block, qi, kj, sep, valid_len):
-    """(block, block) bool: key allowed for query, in global coordinates."""
-    qs = qi * block + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+def _block_mask(block, qi, kj, sep, valid_len, include_diag=True):
+    """(block, block) bool: key allowed for query, in global coordinates.
+
+    ``include_diag=False`` is the prefix-only rule (keys < sep, no diagonal
+    self-attention): the sharded path computes eval tokens' self-attention
+    as an exact logsumexp merge OUTSIDE the kernel, so query indices never
+    need to be global — see pfn_attention_prefix_merge."""
     ks = kj * block + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-    return ((ks < sep) | (ks == qs)) & (ks < valid_len)
+    allowed = (ks < sep) & (ks < valid_len)
+    if include_diag:
+        qs = qi * block + jax.lax.broadcasted_iota(
+            jnp.int32, (block, block), 0
+        )
+        allowed |= (ks == qs) & (ks < valid_len)
+    return allowed
 
 
-def _fwd_kernel(block, sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i):
+def _needed(block, qi, kj, sep, include_diag=True):
+    """Does KV block kj contribute anything to query block qi?"""
+    prefix = kj * block < sep
+    return (prefix | (kj == qi)) if include_diag else prefix
+
+
+def _fwd_kernel(block, include_diag, sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_i, l_i):
     qi, kj = pl.program_id(1), pl.program_id(2)
     nk = pl.num_programs(2)
     sep = sep_ref[0]
@@ -62,7 +78,7 @@ def _fwd_kernel(block, sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, ac
         l_i[:] = jnp.zeros_like(l_i)
 
     # Skip blocks with no allowed columns: past sep and not the diagonal.
-    block_needed = (kj * block < sep) | (kj == qi)
+    block_needed = _needed(block, qi, kj, sep, include_diag)
 
     @pl.when(block_needed)
     def _compute():
@@ -73,7 +89,7 @@ def _fwd_kernel(block, sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, ac
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK) — scale applied by caller on q
-        s = jnp.where(_block_mask(block, qi, kj, sep, valid_len), s, _NEG_INF)
+        s = jnp.where(_block_mask(block, qi, kj, sep, valid_len, include_diag), s, _NEG_INF)
 
         m_prev = m_i[:]
         l_prev = l_i[:]
@@ -95,7 +111,7 @@ def _fwd_kernel(block, sep_ref, len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, ac
 
 
 def _bwd_dq_kernel(
-    block, sep_ref, len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc
+    block, include_diag, sep_ref, len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc
 ):
     qi, kj = pl.program_id(1), pl.program_id(2)
     nk = pl.num_programs(2)
@@ -106,7 +122,7 @@ def _bwd_dq_kernel(
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    block_needed = (kj * block < sep) | (kj == qi)
+    block_needed = _needed(block, qi, kj, sep, include_diag)
 
     @pl.when(block_needed)
     def _compute():
@@ -119,7 +135,7 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = jnp.where(_block_mask(block, qi, kj, sep, valid_len), s, _NEG_INF)
+        s = jnp.where(_block_mask(block, qi, kj, sep, valid_len, include_diag), s, _NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -135,7 +151,7 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
-    block, sep_ref, len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    block, include_diag, sep_ref, len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_acc, dv_acc
 ):
     # Grid: (BH, nKV, nQ) — iterate query blocks for a fixed kv block.
@@ -149,7 +165,7 @@ def _bwd_dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    block_needed = (kj * block < sep) | (kj == qi)
+    block_needed = _needed(block, qi, kj, sep, include_diag)
 
     @pl.when(block_needed)
     def _compute():
@@ -162,7 +178,7 @@ def _bwd_dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = jnp.where(_block_mask(block, qi, kj, sep, valid_len), s, _NEG_INF)
+        s = jnp.where(_block_mask(block, qi, kj, sep, valid_len, include_diag), s, _NEG_INF)
         p = jnp.exp(s - lse)  # (BQ, BK)
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -190,29 +206,36 @@ def _pad(x, tp):
     return jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
 
-def _kv_select(block, qi, kj, sep_ref):
-    """KV-block index with DMA elision: blocks the kernel will skip
-    (past sep and off-diagonal) are remapped to the diagonal block, which the
-    pipeline has already fetched — consecutive equal indices elide the copy.
-    The pl.when(block_needed) guard makes the stale data unobservable."""
-    needed = (kj * block < sep_ref[0]) | (kj == qi)
-    return jnp.where(needed, kj, qi)
+def _kv_select(block, qi, kj, sep_ref, include_diag=True):
+    """KV-block index with DMA elision: blocks the kernel will skip are
+    remapped to an already-fetched block — consecutive equal indices elide
+    the copy. Diag variant: remap to the diagonal block. Prefix variant: the
+    needed blocks are a contiguous prefix, so remap everything after it to
+    the last needed block. The pl.when(block_needed) guard makes the stale
+    data unobservable."""
+    if include_diag:
+        needed = (kj * block < sep_ref[0]) | (kj == qi)
+        return jnp.where(needed, kj, qi)
+    last = jnp.maximum((sep_ref[0] - 1) // block, 0)
+    return jnp.minimum(kj, last)
 
 
-def _fwd_impl(q, k, v, sep, valid_len):
-    """q,k,v: (BH, Tp, D) already padded & scaled. Returns (o, lse)."""
-    BH, Tp, D = q.shape
+def _fwd_impl(q, k, v, sep, valid_len, include_diag=True):
+    """q: (BH, Tqp, D), k/v: (BH, Tkp, D) already padded & scaled (Tqp may
+    differ from Tkp in the prefix variant — sharded queries vs gathered
+    keys). Returns (o, lse)."""
+    BH, Tqp, D = q.shape
+    Tkp = k.shape[1]
     block = _choose_block(BH)
-    assert Tp % block == 0, (Tp, block)
-    nblocks = Tp // block
-    grid = (BH, nblocks, nblocks)
+    assert Tqp % block == 0 and Tkp % block == 0, (Tqp, Tkp, block)
+    grid = (BH, Tqp // block, Tkp // block)
     sep = jnp.asarray(sep, jnp.int32).reshape(1)
     valid_len = jnp.asarray(valid_len, jnp.int32).reshape(1)
 
     kv_spec = pl.BlockSpec(
         (1, block, D),
         lambda b, qi, kj, sep_ref, len_ref: (
-            b, _kv_select(block, qi, kj, sep_ref), 0
+            b, _kv_select(block, qi, kj, sep_ref, include_diag), 0
         ),
         memory_space=pltpu.VMEM,
     )
@@ -220,7 +243,7 @@ def _fwd_impl(q, k, v, sep, valid_len):
         (1, block, D), lambda b, qi, kj, *_: (b, qi, 0), memory_space=pltpu.VMEM
     )
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, block),
+        functools.partial(_fwd_kernel, block, include_diag),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -244,11 +267,85 @@ def _fwd_impl(q, k, v, sep, valid_len):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Tp, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, Tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tqp, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, Tqp, 1), jnp.float32),
         ],
     )(sep, valid_len, q, k, v)
     return o, lse
+
+
+def _bwd_impl(q, k, v, o, lse, sep, valid_len, do, dlse, include_diag):
+    """Shared backward: returns (dq, dk, dv). ``dlse`` is the cotangent of
+    the lse output ((BH, Tq, 1) or None): d lse_i / d s_ij = p_ij, so it
+    folds into the standard decomposition as ds = p * (dp - (delta - dlse))
+    — the kernels just receive an adjusted delta."""
+    BH, Tqp, D = q.shape
+    Tkp = k.shape[1]
+    block = _choose_block(BH)
+    nq, nk = Tqp // block, Tkp // block
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
+    sep_arr = jnp.asarray(sep, jnp.int32).reshape(1)
+    len_arr = jnp.asarray(valid_len, jnp.int32).reshape(1)
+
+    def spec3(index_map):
+        return pl.BlockSpec((1, block, D), index_map, memory_space=pltpu.VMEM)
+
+    def spec2(index_map):
+        return pl.BlockSpec((1, block, 1), index_map, memory_space=pltpu.VMEM)
+
+    by_q = lambda b, i, j, *_: (b, i, 0)
+    by_k = lambda b, i, j, sep_ref, len_ref: (
+        b, _kv_select(block, i, j, sep_ref, include_diag), 0
+    )
+    # dq: grid (BH, nQ, nKV)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block, include_diag),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(BH, nq, nk),
+            in_specs=[spec3(by_q), spec3(by_k), spec3(by_k), spec3(by_q),
+                      spec2(by_q), spec2(by_q)],
+            out_specs=spec3(by_q),
+            scratch_shapes=[pltpu.VMEM((block, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, Tqp, D), q.dtype),
+    )(sep_arr, len_arr, q, k, v, do, lse, delta)
+
+    # dk/dv: grid (BH, nKV, nQ) — program_id(1) is the kv block. Here the
+    # q-side blocks are the streamed operand: remap q-blocks the kernel will
+    # skip (same DMA-elision trick as _kv_select, roles swapped — for the
+    # prefix variant a kv block past sep needs NO q block; remap to 0).
+    def _q_select(j, i, sep_ref):
+        if include_diag:
+            needed = (j * block < sep_ref[0]) | (j == i)
+            return jnp.where(needed, i, j)
+        return jnp.where(j * block < sep_ref[0], i, 0)
+
+    by_kv_outer = lambda b, j, i, *_: (b, j, 0)
+    by_q_inner = lambda b, j, i, sep_ref, len_ref: (b, _q_select(j, i, sep_ref), 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block, include_diag),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(BH, nk, nq),
+            in_specs=[spec3(by_q_inner), spec3(by_kv_outer), spec3(by_kv_outer),
+                      spec3(by_q_inner), spec2(by_q_inner), spec2(by_q_inner)],
+            out_specs=[spec3(by_kv_outer), spec3(by_kv_outer)],
+            scratch_shapes=[
+                pltpu.VMEM((block, D), jnp.float32),
+                pltpu.VMEM((block, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tkp, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, Tkp, D), v.dtype),
+        ],
+    )(sep_arr, len_arr, q, k, v, do, lse, delta)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -264,69 +361,67 @@ def _flash_fwd(q, k, v, sep, valid_len):
 
 def _flash_bwd(res, do):
     q, k, v, o, lse, sep, valid_len = res
-    BH, Tp, D = q.shape
-    block = _choose_block(BH)
-    nblocks = Tp // block
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
-    sep_arr = jnp.asarray(sep, jnp.int32).reshape(1)
-    len_arr = jnp.asarray(valid_len, jnp.int32).reshape(1)
-
-    def spec3(index_map):
-        return pl.BlockSpec((1, block, D), index_map, memory_space=pltpu.VMEM)
-
-    def spec2(index_map):
-        return pl.BlockSpec((1, block, 1), index_map, memory_space=pltpu.VMEM)
-
-    by_q = lambda b, i, j, *_: (b, i, 0)
-    by_k = lambda b, i, j, sep_ref, len_ref: (
-        b, _kv_select(block, i, j, sep_ref), 0
+    dq, dk, dv = _bwd_impl(
+        q, k, v, o, lse, sep, valid_len, do, None, include_diag=True
     )
-    # dq: grid (BH, nQ, nKV)
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, block),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(BH, nblocks, nblocks),
-            in_specs=[spec3(by_q), spec3(by_k), spec3(by_k), spec3(by_q),
-                      spec2(by_q), spec2(by_q)],
-            out_specs=spec3(by_q),
-            scratch_shapes=[pltpu.VMEM((block, D), jnp.float32)],
-        ),
-        out_shape=jax.ShapeDtypeStruct((BH, Tp, D), q.dtype),
-    )(sep_arr, len_arr, q, k, v, do, lse, delta)
-
-    # dk/dv: grid (BH, nKV, nQ) — program_id(1) is the kv block. Here the
-    # q-side blocks are the streamed operand: remap q-blocks the kernel will
-    # skip to the diagonal (same DMA-elision trick as _kv_select, roles
-    # swapped).
-    def _q_select(j, i, sep_ref):
-        needed = (j * block < sep_ref[0]) | (j == i)
-        return jnp.where(needed, i, j)
-
-    by_kv_outer = lambda b, j, i, *_: (b, j, 0)
-    by_q_inner = lambda b, j, i, sep_ref, len_ref: (b, _q_select(j, i, sep_ref), 0)
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(BH, nblocks, nblocks),
-            in_specs=[spec3(by_q_inner), spec3(by_kv_outer), spec3(by_kv_outer),
-                      spec3(by_q_inner), spec2(by_q_inner), spec2(by_q_inner)],
-            out_specs=[spec3(by_kv_outer), spec3(by_kv_outer)],
-            scratch_shapes=[
-                pltpu.VMEM((block, D), jnp.float32),
-                pltpu.VMEM((block, D), jnp.float32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((BH, Tp, D), k.dtype),
-            jax.ShapeDtypeStruct((BH, Tp, D), v.dtype),
-        ],
-    )(sep_arr, len_arr, q, k, v, do, lse, delta)
     return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _flash_prefix(q, k, v, sep, valid_len):
+    """Prefix-only flash (keys < sep, no diagonal). Returns (o, lse); lse is
+    a DIFFERENTIABLE output — the self-attention merge downstream depends on
+    it (pfn_tpu.ops.attention.pfn_attention_prefix_merge)."""
+    return _fwd_impl(q, k, v, sep, valid_len, include_diag=False)
+
+
+def _flash_prefix_fwd(q, k, v, sep, valid_len):
+    o, lse = _fwd_impl(q, k, v, sep, valid_len, include_diag=False)
+    return (o, lse), (q, k, v, o, lse, sep, valid_len)
+
+
+def _flash_prefix_bwd(res, cotangents):
+    q, k, v, o, lse, sep, valid_len = res
+    do, dlse = cotangents
+    dq, dk, dv = _bwd_impl(
+        q, k, v, o, lse, sep, valid_len, do, dlse, include_diag=False
+    )
+    return dq, dk, dv, None, None
+
+
+_flash_prefix.defvjp(_flash_prefix_fwd, _flash_prefix_bwd)
+
+
+def pfn_flash_prefix_attention(q, k, v, single_eval_pos, scale=None):
+    """Prefix-only flash attention with logsumexp output.
+
+    q: (B, H, Tq, Dh) — may be a SEQUENCE SHARD of the full query set (the
+    PFN prefix rule is query-position independent, so shard-local queries
+    need no global offsets). k, v: (B, H, Tk, Dh) — the FULL key/value set.
+    Returns (o (B, H, Tq, Dh), lse (B, H, Tq)); rows with an empty prefix
+    (sep == 0) get o = 0 and lse ~ -1e30 (so a downstream merge's sigmoid
+    saturates to the self-attention branch).
+    """
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    scale = scale if scale is not None else 1.0 / (D**0.5)
+    block = _choose_block(B * H)
+    Tqp = ((Tq + block - 1) // block) * block
+    Tkp = ((Tk + block - 1) // block) * block
+    qf = _pad((q * scale).reshape(B * H, Tq, D), Tqp)
+    kf = _pad(k.reshape(B * H, Tk, D), Tkp)
+    vf = _pad(v.reshape(B * H, Tk, D), Tkp)
+    o, lse = _flash_prefix(
+        qf, kf, vf, jnp.asarray(single_eval_pos, jnp.int32),
+        jnp.asarray(Tk, jnp.int32),
+    )
+    return (
+        o[:, :Tq, :].reshape(B, H, Tq, D),
+        lse[:, :Tq, 0].reshape(B, H, Tq),
+    )
 
 
 def flash_supported(q: jax.Array) -> bool:

@@ -28,24 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-import inspect
 
-try:
-    from jax import shard_map as _shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
-
-# jax renamed check_rep (experimental) -> check_vma (jax.shard_map).
-_CHECK_KW = (
-    "check_vma"
-    if "check_vma" in inspect.signature(_shard_map).parameters
-    else "check_rep"
-)
-
-
-def shard_map(f, **kwargs):
-    kwargs[_CHECK_KW] = kwargs.pop("check_rep")
-    return _shard_map(f, **kwargs)
+from pfn_tpu.ops.shard_compat import shard_map
 
 from pfn_tpu.models.decoders import MLPDecoder
 from pfn_tpu.models.encoders import LinearEncoder

@@ -118,6 +118,7 @@ def build_model(
 ) -> PFNTransformer:
     n_out = criterion.n_out(prior.num_outputs)
     mcfg = TransformerConfig(
+        mesh=mesh,
         token_sharding=token_sharding(mesh) if mesh is not None else None,
         num_experts=cfg.num_experts,
         moe_capacity_factor=cfg.moe_capacity_factor,

@@ -88,3 +88,108 @@ def test_flash_large_batch_heads_uses_256_block():
     with pltpu.force_tpu_interpret_mode():
         out = pfn_flash_attention(q, k, v, jnp.asarray(sep))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+# ---- prefix + self-merge formulation (the sharded path) --------------------
+
+
+def _rand_qkv(key, B=2, H=2, T=128, D=128, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    return (
+        jax.random.normal(kq, (B, H, T, D), dtype),
+        jax.random.normal(kk, (B, H, T, D), dtype),
+        jax.random.normal(kv, (B, H, T, D), dtype),
+    )
+
+
+@pytest.mark.parametrize("sep", [0, 1, 37, 100, 128])
+def test_prefix_merge_dense_matches_reference(sep):
+    """prefix attention + exact self logsumexp merge == the PFN rule."""
+    from pfn_tpu.ops.attention import (
+        pfn_attention_prefix_merge,
+        pfn_attention_reference,
+    )
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), T=128)
+    want = pfn_attention_reference(q, k, v, jnp.asarray(sep))
+    got = pfn_attention_prefix_merge(
+        q, k, v, k, v, jnp.asarray(sep), 0, prefix_impl="dense"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_prefix_merge_gradients_match_reference():
+    from pfn_tpu.ops.attention import (
+        pfn_attention_prefix_merge,
+        pfn_attention_reference,
+    )
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), B=1, H=2, T=64, D=32)
+    w = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 64, 32))
+    sep = jnp.asarray(29)
+
+    def loss_merge(q, k, v):
+        return jnp.sum(
+            w * pfn_attention_prefix_merge(
+                q, k, v, k, v, sep, 0, prefix_impl="dense"
+            )
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(w * pfn_attention_reference(q, k, v, sep))
+
+    gm = jax.grad(loss_merge, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gm, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("sep,Tq", [(0, 128), (70, 128), (190, 256), (256, 256)])
+def test_flash_prefix_kernel_matches_dense_prefix(sep, Tq):
+    """The include_diag=False kernel == the dense prefix (o AND lse), with a
+    sharded-shape case (Tq != Tk)."""
+    from pfn_tpu.ops.attention import pfn_prefix_attention_reference
+    from pfn_tpu.ops.flash_attention import pfn_flash_prefix_attention
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), T=256)
+    q = q[:, :, :Tq]
+    want_o, want_lse = pfn_prefix_attention_reference(q, k, v, jnp.asarray(sep))
+    with pltpu.force_tpu_interpret_mode():
+        got_o, got_lse = pfn_flash_prefix_attention(q, k, v, jnp.asarray(sep))
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                               rtol=2e-5, atol=2e-5)
+    rows_with_prefix = sep > 0
+    if rows_with_prefix:
+        np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse),
+                                   rtol=2e-5, atol=2e-4)
+    else:  # both conventions: "empty" lse is a huge negative number
+        assert (np.asarray(got_lse) < -1e29).all()
+        assert (np.asarray(want_lse) < -1e29).all()
+
+
+def test_flash_prefix_kernel_lse_gradient():
+    """dlse cotangent folds into the kernels as an adjusted delta: grads of a
+    loss USING lse must match the dense prefix implementation."""
+    from pfn_tpu.ops.attention import pfn_prefix_attention_reference
+    from pfn_tpu.ops.flash_attention import pfn_flash_prefix_attention
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), B=1, H=1, T=128)
+    sep = jnp.asarray(77)
+
+    def loss(fn):
+        def inner(q, k, v):
+            o, lse = fn(q, k, v, sep)
+            return jnp.sum(o) + jnp.sum(jnp.tanh(lse))
+
+        return inner
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss(pfn_flash_prefix_attention),
+                           argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss(pfn_prefix_attention_reference),
+                       argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_dense, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)

@@ -20,7 +20,7 @@ from pfn_tpu.train import TrainConfig, bar_criterion
 from pfn_tpu.train.loop import TrainState, build_model
 
 
-def _setup(dp=2, pp=4, num_micro=4, B=8, T=12):
+def _setup(dp=2, pp=4, num_micro=4, B=8, T=12, attention_impl="dense"):
     cfg = TransformerConfig(
         num_features=1,
         n_out=16,
@@ -28,7 +28,7 @@ def _setup(dp=2, pp=4, num_micro=4, B=8, T=12):
         nhead=4,
         nhid=64,
         nlayers=4,
-        attention_impl="dense",
+        attention_impl=attention_impl,
     )
     mesh = make_pp_mesh(dp=dp, pp=pp)
     pp_model = PipelinedPFN(cfg, mesh, num_micro=num_micro)
@@ -43,6 +43,29 @@ def _setup(dp=2, pp=4, num_micro=4, B=8, T=12):
 
 def test_pipeline_forward_matches_reference(eight_devices):
     _, _, pp_model, ref_model, params, x, y = _setup()
+    sep = jnp.asarray(6, jnp.int32)
+    ref_out = ref_model.apply(params, x, y, sep)
+    pp_params = pp_model.place_params(to_pipeline_params(params, pp_model))
+    pp_out = jax.jit(pp_model.apply)(pp_params, x, y, sep)
+    np.testing.assert_allclose(
+        np.asarray(pp_out), np.asarray(ref_out), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pipeline_forward_prefix_merge_impl(eight_devices):
+    """attention_impl='prefix' (the prefix + self-merge formulation the
+    sharded flash path computes per shard) composes with the pipeline's
+    ppermute schedule and matches the dense reference. The Pallas kernel
+    itself is equivalence-tested against this same dense prefix math in
+    test_flash_attention (interpreter mode) and on-chip
+    (docs/results/flash_equiv_tpu.json); jit-of-interpret-mode is
+    pathologically slow on CPU, so the kernel is not run under jit here."""
+    _, _, pp_model, _, params, x, y = _setup(attention_impl="prefix")
+    cfg_dense = TransformerConfig(
+        num_features=1, n_out=16, emsize=32, nhead=4, nhid=64, nlayers=4,
+        attention_impl="dense",
+    )
+    ref_model = PFNTransformer(cfg_dense)
     sep = jnp.asarray(6, jnp.int32)
     ref_out = ref_model.apply(params, x, y, sep)
     pp_params = pp_model.place_params(to_pipeline_params(params, pp_model))

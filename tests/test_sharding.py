@@ -4,6 +4,7 @@ TPU-native stand-in for multi-chip validation (SURVEY.md §4 item f)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pfn_tpu.parallel import make_mesh, param_sharding
 from pfn_tpu.priors.gp import GPPrior
@@ -83,19 +84,79 @@ def test_dp_tp_training_runs(eight_devices):
     assert np.isfinite(res.final_loss)
 
 
-def test_sp_training_matches_single_device(eight_devices):
+@pytest.mark.parametrize("impl", ["dense", "flash"])
+def test_sp_training_matches_single_device(eight_devices, impl):
     """Sequence-parallel activations (dp=2, sp=2, tp=2): same PRNG keys ->
-    same math as the single-device run, modulo float reassociation."""
+    same math as the single-device run, modulo float reassociation.
+
+    impl='flash' routes attention through the shard_map prefix+merge path
+    (ops.attention.pfn_sharded_attention) — the composition a real multi-chip
+    bptt=2010 run uses; on the CPU mesh the prefix pass is the dense jnp
+    implementation with identical semantics to the Pallas kernel."""
     prior = GPPrior(num_features=1)
     crit = gaussian_nll_criterion()
     res_single = train(prior, crit, small_cfg())
     mesh = make_mesh(dp=2, sp=2, tp=2)
-    res_sp = train(prior, crit, small_cfg(), mesh=mesh)
+    res_sp = train(prior, crit, small_cfg(attention_impl=impl), mesh=mesh)
     for a, b in zip(
         jax.tree_util.tree_leaves(res_single.params),
         jax.tree_util.tree_leaves(res_sp.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.parametrize("sep", [0, 64, 100, 256])
+def test_sharded_attention_matches_reference(eight_devices, sep):
+    """pfn_sharded_attention (shard_map over dp/sp/tp, K/V all-gather over
+    'sp', prefix+self-merge) == the dense reference on a full-size array."""
+    from pfn_tpu.ops.attention import (
+        pfn_attention_reference,
+        pfn_sharded_attention,
+    )
+
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    key = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(kk, (4, 4, 256, 64)) for kk in jax.random.split(key, 3)
+    )
+    want = pfn_attention_reference(q, k, v, jnp.asarray(sep))
+    got = pfn_sharded_attention(q, k, v, jnp.asarray(sep), mesh, prefix_impl="dense")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_sharded_attention_gradients_match_reference(eight_devices):
+    """Backward through shard_map + all_gather + prefix merge must equal the
+    dense reference's gradients (AD transposes the all_gather into a
+    reduce_scatter over 'sp')."""
+    from pfn_tpu.ops.attention import (
+        pfn_attention_reference,
+        pfn_sharded_attention,
+    )
+
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    key = jax.random.PRNGKey(1)
+    q, k, v = (
+        jax.random.normal(kk, (2, 2, 128, 32)) for kk in jax.random.split(key, 3)
+    )
+    w = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 128, 32))
+    sep = jnp.asarray(77)
+
+    def loss_sharded(q, k, v):
+        return jnp.sum(
+            w * pfn_sharded_attention(q, k, v, sep, mesh, prefix_impl="dense")
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(w * pfn_attention_reference(q, k, v, sep))
+
+    gs = jax.grad(loss_sharded, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gs, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
+        )
 
 
 def test_fsdp_param_sharding_rules(eight_devices):
