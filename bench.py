@@ -34,7 +34,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 
 def measure_pfn_tpu(steps: int = 20, warmup: int = 3, updates_per_call: int = 25,
-                    grid: int = 0) -> float:
+                    grid: int = 0, attention_impl: str = "auto") -> float:
     import jax
     import jax.numpy as jnp
     from pfn_tpu.distributions import get_bucket_limits
@@ -63,6 +63,7 @@ def measure_pfn_tpu(steps: int = 20, warmup: int = 3, updates_per_call: int = 25
         epochs=1,
         steps_per_epoch=steps,
         dtype=jnp.bfloat16,
+        attention_impl=attention_impl,
     )
     model = build_model(prior, crit, cfg)
     params = model.init_params(jax.random.PRNGKey(0), seq_len=BPTT)
@@ -195,6 +196,7 @@ def _measure_with_retries(args):
             sys.executable, os.path.abspath(__file__), "--_measure-child",
             "--steps", str(args.steps), "--grid", str(args.grid),
             "--updates_per_call", str(args.updates_per_call),
+            "--attention_impl", args.attention_impl,
         ]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -223,7 +225,8 @@ def _measure_child(args):
     """One measurement attempt in this process; prints one JSON line."""
     try:
         value = measure_pfn_tpu(steps=args.steps, grid=args.grid,
-                                updates_per_call=args.updates_per_call)
+                                updates_per_call=args.updates_per_call,
+                                attention_impl=args.attention_impl)
         print(json.dumps({"value": value}))
         return 0
     except Exception as e:  # noqa: BLE001 - reported upward as structured JSON
@@ -240,6 +243,9 @@ def main():
                         "docs/PERF.md)")
     p.add_argument("--updates_per_call", type=int, default=25,
                    help="train steps fused per dispatch (lax.scan)")
+    p.add_argument("--attention_impl", default="auto",
+                   help="'auto' | 'dense' | 'flash' | 'fused' (whole-layer "
+                        "Pallas kernels; TPU only)")
     p.add_argument("--remeasure-baseline", action="store_true")
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--_measure-child", action="store_true",

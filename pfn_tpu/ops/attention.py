@@ -241,6 +241,11 @@ def pfn_attention(
             q, k, v, k, v, single_eval_pos, 0, scale=scale,
             prefix_impl="dense",
         )
+    if impl == "fused":
+        # 'fused' selects models.fused_apply (whole-layer kernels) at the
+        # TRANSFORMER level; a flax-path call with it (evals, or an
+        # unsupported fused config) behaves as 'auto'.
+        impl = "auto"
     if impl in ("flash", "auto"):
         from pfn_tpu.ops.flash_attention import pfn_flash_attention, flash_supported
 

@@ -228,6 +228,16 @@ def _apply_with_aux(model, cfg: TrainConfig, params, x, y, sep, k_drop):
         out, mut = model.apply(params, x, y, sep, mutable=["moe_aux"], **kwargs)
         aux = sum(jnp.asarray(v).sum() for v in jax.tree.leaves(mut["moe_aux"]))
         return out, cfg.moe_aux_weight * aux
+    if cfg.attention_impl == "fused":
+        from pfn_tpu.models.fused_apply import fused_forward
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            raise ValueError(
+                "attention_impl='fused' compiles Pallas whole-layer kernels "
+                "and needs a TPU backend (jit of interpreter mode is "
+                "impractically slow) — use 'auto' off-TPU"
+            )
+        return fused_forward(model.config, params, x, y, sep), 0.0
     return model.apply(params, x, y, sep, **kwargs), 0.0
 
 
