@@ -87,10 +87,12 @@ def main():
     p.add_argument("--oracle_pass", action="store_true")
     p.add_argument(
         "--eval_pos_sampler", default="weighted",
-        choices=["weighted", "uniform"],
+        choices=["weighted", "uniform", "mixture"],
         help="weighted = notebook parity (p(sep) ∝ 1/(max-sep): P(sep<=100) "
              "is only 0.6%% at bptt=2010, which is why small-context NLL "
-             "converges slowly); uniform = small-context patch schedule",
+             "converges slowly); uniform = small-context patch schedule; "
+             "mixture = 0.9*weighted + 0.1*uniform-capped-300 (train-time "
+             "small-context coverage in ONE schedule, utils/samplers.py)",
     )
     p.add_argument(
         "--eval_pos_max", type=int, default=None,

@@ -101,11 +101,72 @@ def run_case(B, H, T, D, sep, dtype, key):
     }
 
 
+def run_sharded(cases, out_path):
+    """Pallas prefix kernel INSIDE shard_map on the real chip (1-device
+    ('dp','sp','tp','ep') mesh — the manual-partition lowering a multi-chip
+    sp run uses; multi-device composition is CPU-mesh-tested in
+    tests/test_sharding.py with the dense prefix math)."""
+    from pfn_tpu.parallel import make_mesh
+    from pfn_tpu.ops.attention import pfn_sharded_attention
+
+    mesh = make_mesh(dp=1, devices=jax.devices()[:1])
+
+    def sharded(q, k, v, sep):
+        return pfn_sharded_attention(q, k, v, sep, mesh, prefix_impl="flash")
+
+    s_fwd = jax.jit(sharded)
+    s_grad = jax.jit(jax.grad(
+        lambda q, k, v, sep, ct: _loss(sharded, q, k, v, sep, ct),
+        argnums=(0, 1, 2),
+    ))
+    results = []
+    key = jax.random.PRNGKey(17)
+    for i, (B, H, T, D, sep) in enumerate(cases):
+        kq, kk, kv, kg = jax.random.split(jax.random.fold_in(key, i), 4)
+        shape = (B, H, T, D)
+        q = jax.random.normal(kq, shape)
+        k = jax.random.normal(kk, shape)
+        v = jax.random.normal(kv, shape)
+        ct = jax.random.normal(kg, shape)
+        sep = jnp.asarray(sep, jnp.int32)
+        og, os_ = _gold_fwd(q, k, v, sep), s_fwd(q, k, v, sep)
+        gg = _gold_grad(q, k, v, sep, ct)
+        gs = s_grad(q, k, v, sep, ct)
+        fwd = float(jnp.max(jnp.abs(os_ - og)))
+        bwd = max(
+            float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) or 1.0))
+            for a, b in zip(gs, gg)
+        )
+        ok = fwd <= ABS_FLOOR["float32"] and bwd <= ABS_FLOOR["float32"] * 10
+        results.append({"B": B, "H": H, "T": T, "D": D, "sep": int(sep),
+                        "fwd_vs_gold": fwd, "bwd_vs_gold": bwd, "pass": bool(ok)})
+        print(f"sharded T={T:5d} sep={int(sep):5d} fwd={fwd:.2e} "
+              f"bwd={bwd:.2e} {'ok' if ok else 'FAIL'}")
+    out = {"backend": jax.default_backend(),
+           "all_pass": all(r["pass"] for r in results), "cases": results}
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"all_pass={out['all_pass']} -> {out_path}")
+    if not out["all_pass"]:
+        raise SystemExit(1)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/results/flash_equiv_tpu.json")
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="test the kernel inside shard_map (1-device mesh) "
+                        "instead; writes docs/results/flash_shard_tpu.json")
     args = p.parse_args()
+    if args.sharded:
+        run_sharded(
+            [(2, 4, 256, 128, 100), (2, 4, 512, 128, 300),
+             (4, 4, 2010, 128, 1200)],
+            "docs/results/flash_shard_tpu.json",
+        )
+        return
 
     backend = jax.default_backend()
     print(f"backend: {backend}")
