@@ -43,6 +43,15 @@ timeout 1800 python -u experiments/flash_equivalence.py --sharded \
   >> /tmp/flash_shard.log 2>&1
 echo "$(date) stage3 flash-shard rc=$?" >> "$LOG"
 
+# 3.5 tabular inference-time ensemble on the EXISTING 300-epoch model
+#     (eval only — the cheap VERDICT-5 lever, independent of retraining).
+#     --out results/tabular reuses the cached grid-searched baselines.
+timeout 3600 python -u experiments/tabular_eval.py --suite reference \
+  --baselines logistic --load results/tabular/pfn_ck_r2 --ensemble 8 \
+  --out results/tabular >> /tmp/tabular_ens.log 2>&1
+cp -f results/tabular/summary.json docs/results/tabular_ensemble8_300ep.json 2>/dev/null
+echo "$(date) stage3.5 tabular-ensemble rc=$? $(tail -n1 /tmp/tabular_ens.log)" >> "$LOG"
+
 # 4. sweep, one shape per process for isolation
 for SHAPE in 4x25 10x10 20x5 25x4 50x2 100x1; do
   timeout 1800 python -u experiments/batch_shape_sweep.py \
@@ -76,10 +85,11 @@ done
 echo "$(date) mixture run done" >> "$LOG"
 
 # 7. tabular scaling: the 1000-epoch point on the reference 9-dataset suite
-#    (PFN column only needs retraining; logistic is the comparison bar)
+#    (PFN column only needs retraining; cached logistic is the bar)
 timeout 14400 python -u experiments/tabular_eval.py --epochs 1000 \
-  --suite reference --baselines logistic \
-  --out docs/results/tabular_tpu1000ep.json \
-  >> /tmp/tabular_1000.log 2>&1
+  --suite reference --baselines logistic --ensemble 8 \
+  --checkpoint results/tabular/pfn_ck_1000ep \
+  --out results/tabular >> /tmp/tabular_1000.log 2>&1
+cp -f results/tabular/summary.json docs/results/tabular_tpu1000ep.json 2>/dev/null
 echo "$(date) tabular 1000ep rc=$?" >> "$LOG"
 echo "$(date) chain v2 COMPLETE" >> "$LOG"

@@ -49,6 +49,11 @@ def main():
         help="directory with the reference's bundled dataset files",
     )
     p.add_argument(
+        "--ensemble", type=int, default=1,
+        help="PFN inference-time ensemble size: feature permutations + "
+             "label flips, probabilities averaged (1 = reference protocol)",
+    )
+    p.add_argument(
         "--no_categorical", action="store_true",
         help="disable categorical feature discretization in the MLP prior",
     )
@@ -145,7 +150,7 @@ def main():
     pfn_res = tab.evaluate(
         datasets, model, "pfn", args.bptt, args.eval_positions, params=params,
         max_samples=args.max_samples, cache_dir=pfn_cache,
-        num_features=num_features,
+        num_features=num_features, ensemble=args.ensemble,
     )
     all_results["pfn"] = pfn_res["mean_metric"]
     print(f"PFN mean AUC: {pfn_res['mean_metric']:.4f}")

@@ -83,6 +83,7 @@ def evaluate_position_pfn(
     max_samples: int = 40,
     rescale_features: float = 1.0,
     num_features: int | None = None,
+    ensemble: int = 1,
 ):
     """ROC-AUC of the PFN at a single eval_position over subsampled windows.
 
@@ -92,24 +93,55 @@ def evaluate_position_pfn(
     input by context+current-query stats, tabular.py:293-296, while its
     baselines use context-only, :314-317 — one inconsistent row; we use
     context-only for both.) Features are optionally rescaled and zero-padded
-    to the model's num_features (tabular.py:182-184). Returns
+    to the model's num_features (tabular.py:182-184).
+
+    ``ensemble > 1`` averages predicted probabilities over that many
+    input-symmetry variants — random feature-column permutations, plus a
+    binary label flip on alternating members (probabilities flipped back) —
+    in ONE batched forward over all members. The MLP prior is exchangeable
+    over features and classes, so members are equally valid views; averaging
+    integrates out the trained model's residual sensitivity to them. The
+    reference evaluates a single view (tabular.py:628-634); TabPFN-style
+    ensembling is the standard cheap upgrade. Returns
     (per_window_auc, outputs, ys)."""
     wx, wy = build_windows(X, y, bptt, max_samples)
     mean = wx[:, :eval_position].mean(axis=1, keepdims=True)
     std = wx[:, :eval_position].std(axis=1, keepdims=True) + 1e-6
     wx = (wx - mean) / std
     wx = wx / rescale_features
+    F_real = wx.shape[-1]
     if num_features is not None and wx.shape[-1] < num_features:
         pad = np.zeros((*wx.shape[:2], num_features - wx.shape[-1]), np.float32)
         wx = np.concatenate([wx, pad], -1)
 
+    members_x, members_y, flipped = [], [], []
+    rng = np.random.RandomState(1234)
+    for e in range(max(1, ensemble)):
+        xe = wx
+        if e > 0:
+            perm = rng.permutation(F_real)
+            xe = np.concatenate([wx[..., perm], wx[..., F_real:]], -1)
+        flip = e % 2 == 1
+        members_x.append(xe)
+        members_y.append(1.0 - wy if flip else wy)
+        flipped.append(flip)
+
+    B = wx.shape[0]
     logits = model.apply(
         params,
-        jnp.asarray(wx),
-        jnp.where(jnp.arange(bptt)[None, :] < eval_position, jnp.asarray(wy), 0.0),
+        jnp.asarray(np.concatenate(members_x, 0)),
+        jnp.where(
+            jnp.arange(bptt)[None, :] < eval_position,
+            jnp.asarray(np.concatenate(members_y, 0)),
+            0.0,
+        ),
         eval_position,
     )
-    probs = np.asarray(jax.nn.sigmoid(logits[..., 0]))[:, eval_position:]
+    p = np.array(jax.nn.sigmoid(logits[..., 0])).reshape(len(members_x), B, bptt)
+    for e, flip in enumerate(flipped):
+        if flip:
+            p[e] = 1.0 - p[e]
+    probs = p.mean(axis=0)[:, eval_position:]
     ys = wy[:, eval_position:]
     aucs = []
     for i in range(len(wx)):
@@ -373,6 +405,7 @@ def evaluate(
     cache_dir: str | None = None,
     overwrite: bool = False,
     num_features: int | None = None,
+    ensemble: int = 1,
 ):
     """Evaluate a PFN (pass model + params) or a baseline metric fn over a
     dataset list; per-dataset .npy caching like the reference (:168-179).
@@ -381,6 +414,8 @@ def evaluate(
     # Cache key covers everything that changes the numbers (the reference
     # keys only on method+dataset, tabular.py:168-179 — stale-hit hazard).
     spec = f"bptt{bptt}_pos{'-'.join(map(str, eval_positions))}_n{max_samples}"
+    if ensemble > 1:
+        spec += f"_e{ensemble}"
     for name, X, y, cat_feats in datasets:
         cache_path = (
             os.path.join(cache_dir, f"results_{method}_{name}_{spec}.npy")
@@ -397,6 +432,7 @@ def evaluate(
                 aucs, outputs, ys = evaluate_position_pfn(
                     model_or_metric, params, X, y, bptt, pos,
                     max_samples=max_samples, num_features=num_features,
+                    ensemble=ensemble,
                 )
                 # Mean of per-window AUCs — the same statistic the baseline
                 # branch reports (reference tabular.py:301-306 computes

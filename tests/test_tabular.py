@@ -209,3 +209,26 @@ def test_bnn_svi_classifier_learns_and_caches_compiles():
     np.testing.assert_allclose(
         a.predict_proba(Xt), b.predict_proba(Xt), rtol=1e-6
     )
+
+
+def test_pfn_ensemble_predictions(tiny_tabular_pfn):
+    """ensemble>1: one batched forward over symmetry variants; probabilities
+    stay valid, ensemble-of-1 equals the plain path, and a label-flipped
+    member is mapped back (probs differ from the single view but remain
+    finite and bounded)."""
+    res = tiny_tabular_pfn
+    X, y = get_2class_iris()
+    kw = dict(bptt=60, eval_position=30, max_samples=6, num_features=4)
+    aucs1, p1, _ = evaluate_position_pfn(res.model, res.params, X, y, **kw)
+    aucs1b, p1b, _ = evaluate_position_pfn(
+        res.model, res.params, X, y, ensemble=1, **kw
+    )
+    np.testing.assert_allclose(p1, p1b, atol=1e-6)
+    aucs4, p4, _ = evaluate_position_pfn(
+        res.model, res.params, X, y, ensemble=4, **kw
+    )
+    assert p4.shape == p1.shape
+    assert ((0 <= p4) & (p4 <= 1)).all()
+    assert len(aucs4) == len(aucs1)
+    # The ensemble is a genuine average over distinct views.
+    assert not np.allclose(p4, p1, atol=1e-6)
