@@ -303,7 +303,12 @@ def _pick_nb(B):
 def _fwd_call(x, p, sep, nhead, cdt, interpret):
     B, T, D = x.shape
     nb = _pick_nb(B)
+    # Big matrices enter VMEM pre-cast to the compute dtype (halves their
+    # footprint vs f32 refs + in-kernel copies — the in-kernel .astype(cdt)
+    # becomes a no-op); biases/LN params stay f32 (negligible, added in f32).
     pf = {k: jnp.asarray(v, jnp.float32) for k, v in p.items()}
+    for k in ("wqkv", "wout", "w1", "w2"):
+        pf[k] = pf[k].astype(cdt)
     rows = [
         pf["wqkv"], _row(pf["bqkv"]), pf["wout"], _row(pf["bout"]),
         _row(pf["ln1_g"]), _row(pf["ln1_b"]),
@@ -340,6 +345,8 @@ def _bwd_call(x, p, sep, r, lse, dy, nhead, cdt, interpret):
     F = p["w1"].shape[1]
     nb = _pick_nb(B)
     pf = {k: jnp.asarray(v, jnp.float32) for k, v in p.items()}
+    for k in ("wqkv", "wout", "w1", "w2"):
+        pf[k] = pf[k].astype(cdt)  # see _fwd_call VMEM note
 
     # FFN block: dy -> dr (+ FFN/LN2 param grads)
     ffn_ins = [
