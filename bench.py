@@ -196,7 +196,7 @@ def _measure_with_retries(args):
             sys.executable, os.path.abspath(__file__), "--_measure-child",
             "--steps", str(args.steps), "--grid", str(args.grid),
             "--updates_per_call", str(args.updates_per_call),
-            "--attention_impl", args.attention_impl,
+            "--attention_impl", getattr(args, "attention_impl", "auto"),
         ]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -226,7 +226,8 @@ def _measure_child(args):
     try:
         value = measure_pfn_tpu(steps=args.steps, grid=args.grid,
                                 updates_per_call=args.updates_per_call,
-                                attention_impl=args.attention_impl)
+                                attention_impl=getattr(
+                                    args, "attention_impl", "auto"))
         print(json.dumps({"value": value}))
         return 0
     except Exception as e:  # noqa: BLE001 - reported upward as structured JSON

@@ -87,8 +87,9 @@ def _attn_item(qkv, sep, D, H, dh, scale, cdt, lse_rows=None):
 
     Returns (attn (T, D) cdt, lses list of (T,1) f32, ps list of (T,T) f32).
     With ``lse_rows`` (bwd recompute) the softmax uses the saved lse instead
-    of recomputing max/log-sum (bit-identical to fwd by construction since
-    lse was produced by these same ops)."""
+    of recomputing max/log-sum: exp(s - (m + log l)) = exp(s - m)/l, equal
+    to the forward's probabilities up to f32 rounding (the flash-attention
+    recompute identity)."""
     T = qkv.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)

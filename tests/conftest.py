@@ -114,8 +114,63 @@ _QUICK_TESTS = {
 }
 
 
+# Slow tier: every test (or expensive-fixture consumer) measured >= ~15 s in
+# a full-suite --durations=40 run on this 1-core host (2026-08-18, run under
+# background load — idle times are ~25% lower). `-m "not slow"` is the mid
+# tier: full-suite coverage minus these, ~8 min idle; `-m quick` stays the
+# default loop; the full suite (no -m) runs everything. Base names — a slow
+# parametrized test is slow for all params.
+_SLOW_TESTS = {
+    "test_bayesopt.py::test_bo_loop_beats_random_on_smooth_objective",
+    "test_checkpoints.py::test_warm_start_through_train",
+    "test_comparison.py::test_eval_mcmc_matches_svi_when_converged",
+    "test_comparison.py::test_eval_svi_beats_chance",
+    "test_comparison.py::test_trained_pfn_approaches_svi_quality",
+    "test_comparison.py::test_training_steps_sweep_caches",
+    "test_debug_checks.py::test_out_of_support_raises_under_debug_mode",
+    "test_flash_attention.py::test_flash_large_batch_heads_uses_256_block",
+    "test_fused_apply.py::test_fused_forward_gradients_match_model",
+    "test_fused_layer.py::test_fused_gradients_match_flax",
+    "test_gp_mix_oracles.py::test_hyper_mcmc_predictive_beats_bad_hypers",
+    "test_host_data_training.py::test_host_iter_training_learns",
+    "test_inference.py::test_bnn_classifier_learns_separable_data",
+    "test_inference_api.py::test_classifier_separable",
+    "test_inference_api.py::test_regressor_interpolates_context",
+    "test_model.py::test_output_shape_all_positions",
+    "test_moe.py::test_ep_training_matches_single_device",
+    "test_moe.py::test_moe_training_runs_and_learns",
+    "test_omniglot.py::test_episode_shapes_and_targets",
+    "test_omniglot.py::test_query_class_is_among_support",
+    "test_omniglot.py::test_synthetic_bank_shapes",
+    "test_pipeline.py::test_pipeline_grads_match_reference",
+    "test_pipeline.py::test_pp_train_step_runs",
+    "test_priors.py::test_mlp_prior_binary_classification",
+    "test_priors.py::test_mlp_prior_categorical_discrete_marginals",
+    "test_priors.py::test_mlp_prior_causal_mode",
+    "test_priors.py::test_mlp_prior_shapes_and_normalization",
+    "test_resume.py::test_resume_reproduces_uninterrupted_run",
+    "test_review_fixes.py::test_group_priors_accept_odd_batch_sizes",
+    "test_sharding.py::test_dp_tp_training_runs",
+    "test_sharding.py::test_dp_training_runs_and_matches_single_device",
+    "test_sharding.py::test_fsdp_training_matches_single_device",
+    "test_sharding.py::test_sharded_attention_gradients_match_reference",
+    "test_sharding.py::test_sp_training_matches_single_device",
+    "test_stroke.py::test_normalize_x",
+    "test_stroke.py::test_only_train_for_last_idx",
+    "test_stroke.py::test_same_class_images_differ_but_share_structure",
+    "test_stroke.py::test_shapes_and_ranges",
+    "test_tabular.py::test_pfn_ensemble_predictions",
+    "test_tabular.py::test_pfn_tabular_branch_runs",
+    "test_train.py::test_eval_harness_runs",
+    "test_train_chunked.py::test_chunked_matches_unchunked_statistically",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         key = f"{item.fspath.basename}::{item.name}"
         if key in _QUICK_TESTS:
             item.add_marker(pytest.mark.quick)
+        base = f"{item.fspath.basename}::{item.name.split('[')[0]}"
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
