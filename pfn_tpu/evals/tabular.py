@@ -474,15 +474,18 @@ def evaluate(
         # zero both its weight and its contribution so it truly drops out
         # instead of poisoning the aggregate.
         means = np.where(counts > 0, np.nan_to_num(means), 0.0)
+        # No data AT ALL at this position -> NaN (visibly poisoned), not a
+        # plausible-looking 0.0 AUC; single empty datasets still drop out.
         result[f"mean_metric_at_{pos}"] = float(
-            np.sum(means * counts) / np.maximum(np.sum(counts), 1.0)
+            np.sum(means * counts) / np.sum(counts)
+            if counts.sum() > 0 else float("nan")
         )
         # Reference-parity statistic: the unweighted per-dataset mean
         # (reference tabular.py:209) so numbers stay directly comparable
         # to reference-protocol results and this repo's pre-weighting runs.
         valid = counts > 0
         result[f"mean_metric_at_{pos}_unweighted"] = float(
-            np.mean(means[valid]) if valid.any() else 0.0
+            np.mean(means[valid]) if valid.any() else float("nan")
         )
     result["mean_metric"] = float(
         np.mean([result[f"mean_metric_at_{pos}"] for pos in eval_positions])

@@ -374,10 +374,20 @@ class PrefetchIterator:
                     # Worker exited without us ever seeing its sentinel —
                     # possible when the bounded sentinel put (worker
                     # `finally`) gave up while the consumer stalled >60 s
-                    # (e.g. an XLA compile on a 1-core host). Treat
-                    # "empty queue + dead worker" as end-of-stream so the
-                    # consumer can never block forever, and surface any
-                    # stored worker failure instead of losing it.
+                    # (e.g. an XLA compile on a 1-core host). The worker may
+                    # also have put its final item(s) in the gap between our
+                    # queue.get timing out and this liveness check, so drain
+                    # non-blockingly before declaring end-of-stream; then
+                    # surface any stored worker failure instead of losing it.
+                    try:
+                        item = self._queue.get_nowait()
+                    except queue.Empty:
+                        self._done = True
+                        if self._error is not None:
+                            raise self._error
+                        raise StopIteration
+                    if item is not _SENTINEL:
+                        return item
                     self._done = True
                     if self._error is not None:
                         raise self._error

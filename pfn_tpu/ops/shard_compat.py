@@ -1,12 +1,17 @@
-"""shard_map version compat: jax renamed ``check_rep`` (the old
-``jax.experimental.shard_map``) to ``check_vma`` (``jax.shard_map``).
-Callers in this repo always pass ``check_rep=``; the wrapper forwards it
-under whichever name the installed jax accepts.
+"""shard_map version compat.
+
+jax moved shard_map from ``jax.experimental.shard_map`` to ``jax.shard_map``
+and renamed ``check_rep`` to ``check_vma`` along the way. Callers in this
+repo always pass ``check_rep=``; the wrapper imports whichever home exists
+and forwards the flag under whichever name the installed jax accepts.
 """
 
 import inspect
 
-from jax import shard_map as _shard_map
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # older jax: only the experimental home exists
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 _CHECK_KW = (
     "check_vma"

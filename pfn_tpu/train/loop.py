@@ -170,6 +170,7 @@ def _validate_mesh_shapes(cfg: TrainConfig, mesh) -> None:
         return
     dp = mesh.shape.get("dp", 1)
     sp = mesh.shape.get("sp", 1)
+    tp = mesh.shape.get("tp", 1)
     ep = mesh.shape.get("ep", 1)
     assert cfg.batch_size % dp == 0, (
         f"batch_size={cfg.batch_size} must divide over dp={dp}"
@@ -178,6 +179,14 @@ def _validate_mesh_shapes(cfg: TrainConfig, mesh) -> None:
         assert cfg.bptt % sp == 0, (
             f"bptt={cfg.bptt} must divide over sp={sp} for sequence "
             "parallelism (pad bptt or change sp)"
+        )
+    if tp > 1:
+        # Without this, pfn_attention's divisibility guard would silently
+        # fall back to the dense O(T^2) reference every step — the exact
+        # score materialization the sharded flash path exists to avoid.
+        assert cfg.nhead % tp == 0, (
+            f"nhead={cfg.nhead} must divide over tp={tp} (heads are the "
+            "tensor-parallel axis of attention)"
         )
     if ep > 1:
         assert cfg.num_experts % ep == 0, (
@@ -224,13 +233,17 @@ def _apply_with_aux(model, cfg: TrainConfig, params, x, y, sep, k_drop):
         deterministic=cfg.dropout == 0.0,
         rngs={"dropout": k_drop} if cfg.dropout > 0 else None,
     )
-    if cfg.num_experts > 0:
-        out, mut = model.apply(params, x, y, sep, mutable=["moe_aux"], **kwargs)
-        aux = sum(jnp.asarray(v).sum() for v in jax.tree.leaves(mut["moe_aux"]))
-        return out, cfg.moe_aux_weight * aux
     if cfg.attention_impl == "fused":
-        from pfn_tpu.models.fused_apply import fused_forward
+        # Before the MoE branch: an unsupported fused config (MoE, dropout,
+        # custom modules, mesh) must raise via fused_supported, not silently
+        # train the ordinary flax path.
+        from pfn_tpu.models.fused_apply import fused_forward, fused_supported
 
+        reason = fused_supported(model.config)
+        if reason is not None:
+            raise ValueError(
+                f"fused path does not support this config: {reason}"
+            )
         if jax.default_backend() not in ("tpu", "axon"):
             raise ValueError(
                 "attention_impl='fused' compiles Pallas whole-layer kernels "
@@ -238,6 +251,10 @@ def _apply_with_aux(model, cfg: TrainConfig, params, x, y, sep, k_drop):
                 "impractically slow) — use 'auto' off-TPU"
             )
         return fused_forward(model.config, params, x, y, sep), 0.0
+    if cfg.num_experts > 0:
+        out, mut = model.apply(params, x, y, sep, mutable=["moe_aux"], **kwargs)
+        aux = sum(jnp.asarray(v).sum() for v in jax.tree.leaves(mut["moe_aux"]))
+        return out, cfg.moe_aux_weight * aux
     return model.apply(params, x, y, sep, **kwargs), 0.0
 
 

@@ -195,3 +195,13 @@ def test_fsdp_training_matches_single_device(eight_devices):
         jax.tree_util.tree_leaves(res_fsdp.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_tp_requires_divisible_nhead(eight_devices):
+    """nhead % tp must fail fast at train() — a silent dense fallback every
+    step would defeat the sharded flash path (review finding, round 3)."""
+    prior = GPPrior(num_features=1)
+    crit = gaussian_nll_criterion()
+    mesh = make_mesh(dp=2, tp=4)
+    with pytest.raises(AssertionError, match="nhead"):
+        train(prior, crit, small_cfg(nhead=2), mesh=mesh)
