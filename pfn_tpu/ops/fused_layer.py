@@ -142,8 +142,9 @@ def _fwd_kernel(
         xc = xi.astype(cdt)
         qkv = (_mm(xc, wqkv) + bqkv_ref[...]).astype(cdt)  # (T, 3D)
         attn, lses, _ = _attn_item(qkv, sep, D, H, dh, scale, cdt)
-        for h in range(H):
-            lse_ref[i, :, h:h + 1] = lses[h]
+        # One full-tensor (T, H) store — partial-lane stores (width-1 lane
+        # slices) are a Mosaic lowering hazard on real hardware.
+        lse_ref[i] = jnp.concatenate(lses, axis=-1)
         ao = (_mm(attn, wout) + bout_ref[...]).astype(cdt)
         r1 = xi.astype(jnp.float32) + ao.astype(jnp.float32)
         xhat1, _ = _ln_fwd(r1)
@@ -228,7 +229,8 @@ def _bwd_attn_kernel(
         xi = x_ref[i]
         xc = xi.astype(cdt)
         qkv = (_mm(xc, wqkv) + bqkv_ref[...]).astype(cdt)
-        lse_rows = [lse_ref[i, :, h:h + 1] for h in range(H)]
+        lse_all = lse_ref[i]  # (T, H) full-tensor load, sliced in-register
+        lse_rows = [lse_all[:, h:h + 1] for h in range(H)]
         attn, _, ps = _attn_item(qkv, sep, D, H, dh, scale, cdt, lse_rows)
         ao = (_mm(attn, wout) + bout_ref[...]).astype(cdt)
         r1 = xi.astype(jnp.float32) + ao.astype(jnp.float32)
