@@ -33,8 +33,28 @@ GP_HP = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
 
+FUSED_AB_FILE = os.path.join(
+    os.path.dirname(__file__), "docs", "results", "fused_ab.json"
+)
+
+
+def _resolve_impl(attention_impl: str) -> str:
+    """'best' -> the winner of the committed fused-vs-XLA A/B
+    (experiments/fused_ab.py, one-process ABA on the chip), with a 5%
+    threshold so noise can't flip the default; 'auto' when no A/B exists."""
+    if attention_impl != "best":
+        return attention_impl
+    try:
+        with open(FUSED_AB_FILE) as f:
+            ab = json.load(f)
+        return "fused" if ab.get("speedup", 0.0) > 1.05 else "auto"
+    except (OSError, ValueError):
+        return "auto"
+
+
 def measure_pfn_tpu(steps: int = 20, warmup: int = 3, updates_per_call: int = 25,
-                    grid: int = 0, attention_impl: str = "auto") -> float:
+                    grid: int = 0, attention_impl: str = "best") -> float:
+    attention_impl = _resolve_impl(attention_impl)
     import jax
     import jax.numpy as jnp
     from pfn_tpu.distributions import get_bucket_limits
@@ -196,7 +216,7 @@ def _measure_with_retries(args):
             sys.executable, os.path.abspath(__file__), "--_measure-child",
             "--steps", str(args.steps), "--grid", str(args.grid),
             "--updates_per_call", str(args.updates_per_call),
-            "--attention_impl", getattr(args, "attention_impl", "auto"),
+            "--attention_impl", getattr(args, "attention_impl", "best"),
         ]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -227,7 +247,7 @@ def _measure_child(args):
         value = measure_pfn_tpu(steps=args.steps, grid=args.grid,
                                 updates_per_call=args.updates_per_call,
                                 attention_impl=getattr(
-                                    args, "attention_impl", "auto"))
+                                    args, "attention_impl", "best"))
         print(json.dumps({"value": value}))
         return 0
     except Exception as e:  # noqa: BLE001 - reported upward as structured JSON
@@ -244,9 +264,10 @@ def main():
                         "docs/PERF.md)")
     p.add_argument("--updates_per_call", type=int, default=25,
                    help="train steps fused per dispatch (lax.scan)")
-    p.add_argument("--attention_impl", default="auto",
-                   help="'auto' | 'dense' | 'flash' | 'fused' (whole-layer "
-                        "Pallas kernels; TPU only)")
+    p.add_argument("--attention_impl", default="best",
+                   help="'best' (winner of the committed fused A/B, else "
+                        "auto) | 'auto' | 'dense' | 'flash' | 'fused' "
+                        "(whole-layer Pallas kernels; TPU only)")
     p.add_argument("--remeasure-baseline", action="store_true")
     p.add_argument("--skip-baseline", action="store_true")
     p.add_argument("--_measure-child", action="store_true",
