@@ -110,11 +110,23 @@ def main():
             lr=1e-3, warmup_epochs=4,
         )
     else:
-        # TabularEvalSimple.ipynb cells 9-10 scale.
+        # TabularEvalSimple.ipynb cells 9-10 scale. attention_impl='best'
+        # adopts the committed fused-vs-XLA A/B winner (bench._resolve_impl)
+        # on TPU; off-TPU 'auto' stays the resolution.
+        impl = "auto"
+        if not args.cpu:
+            import sys
+
+            sys.path.insert(
+                0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            )
+            from bench import _resolve_impl
+
+            impl = _resolve_impl("best")
         cfg = TrainConfig(
             emsize=512, nhid=1024, nlayers=6, nhead=4, bptt=args.bptt,
             batch_size=256, epochs=args.epochs or 300, steps_per_epoch=100,
-            lr=1e-4, warmup_epochs=25,
+            lr=1e-4, warmup_epochs=25, attention_impl=impl,
         )
 
     from pfn_tpu.train.loop import build_model

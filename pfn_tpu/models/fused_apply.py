@@ -71,6 +71,14 @@ def fused_forward(
         raise ValueError(f"fused path does not support this config: {reason}")
     P = variables["params"]
     T = x.shape[1]
+    if T > 512:
+        # The fused kernels hold a whole item's (T, T) scores and (T, 3D)
+        # qkv in VMEM — the short-sequence regime. Long sequences belong to
+        # the flash kernel (ops/flash_attention.py), which tiles T.
+        raise ValueError(
+            f"fused path is for short sequences (T <= 512, got {T}) — use "
+            "attention_impl='flash' for the long-context regime"
+        )
 
     # Embed (exact flax modules -> exact reference semantics).
     x_emb = LinearEncoder(cfg.emsize).apply(
