@@ -86,3 +86,46 @@ def test_fused_supported_gates():
         fused_forward(
             cfg, {}, jnp.zeros((1, 4, 2)), jnp.zeros((1, 4)), 2, interpret=True
         )
+
+
+def test_fused_train_chunk_traces_at_flagship_shape(monkeypatch):
+    """jax.eval_shape of the FULL fused train chunk (prior sample + fused
+    custom_vjp fwd/bwd + clip + adam, scanned) at the bench flagship shape.
+    Zero compute — validates the jit-level contract (residual pytrees,
+    scan-of-grad-of-pallas) that the eager parity tests cannot reach and the
+    chip A/B would otherwise discover at compile time."""
+    from pfn_tpu.distributions import get_bucket_limits
+    from pfn_tpu.priors.gp import GPPrior
+    from pfn_tpu.train import TrainConfig, bar_criterion
+    from pfn_tpu.train.loop import (
+        TrainState,
+        _make_optimizer,
+        build_model,
+        make_train_chunk,
+        make_train_step,
+    )
+
+    prior = GPPrior(num_features=1, grid=2048, noise=1e-4)
+    crit = bar_criterion(get_bucket_limits(100, full_range=(-4.0, 4.0)))
+    cfg = TrainConfig(
+        emsize=512, nhid=1024, nlayers=6, nhead=4, batch_size=64, bptt=100,
+        lr=1e-4, warmup_epochs=1, epochs=1, steps_per_epoch=2,
+        dtype=jnp.bfloat16, attention_impl="fused",
+    )
+    model = build_model(prior, crit, cfg)
+    params = jax.eval_shape(
+        lambda k: model.init_params(k, seq_len=100), jax.random.PRNGKey(0)
+    )
+    tx, _, _ = _make_optimizer(cfg, 19_000_000)
+    opt_state = jax.eval_shape(tx.init, params)
+    state = jax.eval_shape(
+        lambda p, o: TrainState(
+            params=p, opt_state=o, step=jnp.zeros((), jnp.int32)
+        ),
+        params, opt_state,
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    chunk = make_train_chunk(make_train_step(model, prior, crit, cfg, tx), 2)
+    out_state, metrics = jax.eval_shape(chunk, state, jax.random.PRNGKey(1))
+    assert metrics["loss"].shape == ()
+    assert metrics["pos_loss"].shape == (100,)
