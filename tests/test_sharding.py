@@ -205,3 +205,44 @@ def test_tp_requires_divisible_nhead(eight_devices):
     mesh = make_mesh(dp=2, tp=4)
     with pytest.raises(AssertionError, match="nhead"):
         train(prior, crit, small_cfg(nhead=2), mesh=mesh)
+
+
+def test_sharded_flash_train_step_traces_at_bptt2010(eight_devices, monkeypatch):
+    """jax.eval_shape of the sp-sharded bptt=2010 train step with the
+    PALLAS prefix kernel selected (backend spoofed to 'tpu'): validates the
+    shard_map + flash custom_vjp contract at the real long-context shape
+    without executing a single FLOP — the composition a multi-chip Fig-3a
+    run compiles."""
+    from pfn_tpu.distributions import get_bucket_limits
+    from pfn_tpu.train import bar_criterion
+    from pfn_tpu.train.loop import (
+        TrainState,
+        _make_optimizer,
+        build_model,
+        make_train_step,
+    )
+
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    prior = GPPrior(num_features=1, grid=2048)
+    crit = bar_criterion(get_bucket_limits(100, full_range=(-4.0, 4.0)))
+    cfg = TrainConfig(
+        emsize=512, nhid=1024, nlayers=6, nhead=4, batch_size=4, bptt=2010,
+        lr=1e-4, warmup_epochs=1, epochs=1, steps_per_epoch=1,
+        dtype=jnp.bfloat16, attention_impl="flash",
+    )
+    model = build_model(prior, crit, cfg, mesh=mesh)
+    params = jax.eval_shape(
+        lambda k: model.init_params(k, seq_len=16), jax.random.PRNGKey(0)
+    )
+    tx, _, _ = _make_optimizer(cfg, 19_000_000)
+    opt_state = jax.eval_shape(tx.init, params)
+    state = jax.eval_shape(
+        lambda p, o: TrainState(
+            params=p, opt_state=o, step=jnp.zeros((), jnp.int32)
+        ),
+        params, opt_state,
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    step = make_train_step(model, prior, crit, cfg, tx, mesh=mesh)
+    _, metrics = jax.eval_shape(step, state, jax.random.PRNGKey(1))
+    assert metrics["loss"].shape == ()
