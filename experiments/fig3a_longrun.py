@@ -72,14 +72,15 @@ def main():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--checkpoint_every", type=int, default=20)
     p.add_argument(
-        "--batch_size", type=int, default=4,
+        "--batch_size", type=int, default=25,
         help="fused microbatch size; with --agg keeps the notebook's "
              "schedule (100 datasets/update, 4 updates/epoch) as long as "
-             "batch_size*agg == 100. The 4x25 default is the reference "
-             "GPU's memory-forced shape; see results/batch_sweep.json for "
-             "the measured TPU-optimal shape (experiments/batch_shape_sweep.py)",
+             "batch_size*agg == 100. The default 25x4 is the measured "
+             "TPU-optimal shape (experiments/batch_shape_sweep.py, "
+             "docs/results/batch_sweep_2010.json: 3.98 s/epoch vs 4.76 "
+             "for the reference GPU's memory-forced 4x25)",
     )
-    p.add_argument("--agg", type=int, default=25,
+    p.add_argument("--agg", type=int, default=4,
                    help="aggregate_k_gradients (microbatches per update)")
     p.add_argument("--out", default="results/fig3a")
     p.add_argument("--eval_batch", type=int, default=32)
