@@ -39,6 +39,13 @@ def main():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--load", default=None, help="skip training, load params")
     p.add_argument(
+        "--checkpoint_dir", default=None,
+        help="full-state checkpoint/resume dir for the meta-training phase "
+             "(train() auto-resumes from the newest checkpoint, so long "
+             "epoch budgets can run in bounded slots like fig3a_longrun)",
+    )
+    p.add_argument("--checkpoint_every", type=int, default=50)
+    p.add_argument(
         "--suite", default="auto", choices=["auto", "reference", "sklearn", "both"],
         help="dataset suite: the reference's bundled svmlight/CSV files "
              "(where baselines actually spread out), the hermetic sklearn "
@@ -108,6 +115,8 @@ def main():
             emsize=64, nhid=128, nlayers=3, nhead=4, bptt=args.bptt,
             batch_size=32, epochs=args.epochs or 20, steps_per_epoch=30,
             lr=1e-3, warmup_epochs=4,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every if args.checkpoint_dir else 0,
         )
     else:
         # TabularEvalSimple.ipynb cells 9-10 scale. attention_impl='best'
@@ -127,6 +136,8 @@ def main():
             emsize=512, nhid=1024, nlayers=6, nhead=4, bptt=args.bptt,
             batch_size=256, epochs=args.epochs or 300, steps_per_epoch=100,
             lr=1e-4, warmup_epochs=25, attention_impl=impl,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_every=args.checkpoint_every if args.checkpoint_dir else 0,
         )
 
     from pfn_tpu.train.loop import build_model
