@@ -233,13 +233,15 @@ def pfn_attention(
     if impl == "dense":
         return pfn_attention_reference(q, k, v, single_eval_pos, scale=scale)
     if impl == "prefix":
-        # Single-device prefix+self-merge (dense prefix pass): the exact
-        # formulation the sharded flash path computes per shard — exposed as
-        # an impl so CPU tests can exercise the merge math end to end
-        # through the model without shard_map or a Pallas backend.
+        # Single-device prefix+self-merge: the exact formulation the sharded
+        # flash path computes per shard. prefix_impl='auto' keeps the dense
+        # prefix pass off-TPU (CPU tests exercise the merge math end to end
+        # without a Pallas backend) and selects the Pallas flash prefix
+        # kernel on TPU — this is the composition pipeline-parallel stages
+        # use, since each pp stage holds the full sequence locally.
         return pfn_attention_prefix_merge(
             q, k, v, k, v, single_eval_pos, 0, scale=scale,
-            prefix_impl="dense",
+            prefix_impl="auto",
         )
     if impl == "fused":
         # 'fused' selects models.fused_apply (whole-layer kernels) at the
