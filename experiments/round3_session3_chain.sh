@@ -13,6 +13,13 @@
 #   2. positional eval (chip phase A + f64 CPU oracle phase B) -> curves
 #   3. Rao-Blackwellized analytic-gap pipeline on the final checkpoint
 # Artifacts are copied to docs/results/ and committed as each lands.
+# DEPRECATED (round 4): superseded by experiments/round4_chip_chain.sh +
+# experiments/durable_ckpt.sh, which fix this script's known defects
+# (ADVICE.md round 3): tmp-dir-matching quiescence glob, non-recursive
+# mtime check, unserialized concurrent git add/commit, and unbounded
+# checkpoint-blob history on main. Kept for the round-3 record; do not run.
+exit 0
+
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
