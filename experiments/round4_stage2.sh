@@ -1,0 +1,121 @@
+#!/bin/bash
+# Round-4 chip chain, stage 2 — runs after round4_chip_chain.sh completes.
+# Same durability machinery (durable_ckpt.sh slots, artifact-guarded phases).
+#
+#   E. 10x10 batch-shape anomaly decomposition (round-3 VERDICT weakness 5):
+#      forced flash tiles 128/256 + attention/prior isolation, one process.
+#   F. From-scratch weighted 1250-epoch run (notebook epochs-grid point,
+#      SetupForGPFittingExperiments.ipynb cell 5) + analytic gap. Together
+#      with analytic_gap_w500 and the chain's 10k-bucket 1250-epoch point
+#      this gives (a) the gap-vs-epochs curve on the analytic estimator and
+#      (b) the 1000-vs-10000-bucket A/B at matched epochs (VERDICT items 2/6).
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+export JAX_PLATFORMS=axon   # fail-fast if the axon backend is down (see chain)
+LOG=/tmp/round4_stage2.log
+echo "$(date) stage-2 start" >> "$LOG"
+
+snapshot() {
+  local ck_dir=$1 slot=$2 newest cur
+  newest=$(find "$ck_dir" -maxdepth 1 -type d -regextype posix-extended \
+           -regex '.*/epoch_[0-9]+$' 2>/dev/null | sort -t_ -k2 -n | tail -1)
+  [ -z "$newest" ] && return 1
+  [ -n "$(find "$newest" -newermt '-20 seconds' -print -quit)" ] && return 1
+  cur=$(git ls-tree --name-only "refs/heads/ckpt-$slot" snap/ 2>/dev/null | head -1)
+  [ "$cur" = "snap/$(basename "$newest")" ] && return 0
+  bash experiments/durable_ckpt.sh save "$slot" "$newest" >> "$LOG" 2>&1
+}
+
+restore_if_empty() {
+  local ck_dir=$1 slot=$2
+  if ! ls -d "$ck_dir"/epoch_* >/dev/null 2>&1; then
+    mkdir -p "$ck_dir"
+    bash experiments/durable_ckpt.sh restore "$slot" "$ck_dir" >> "$LOG" 2>&1 \
+      && echo "$(date) restored $slot -> $ck_dir: $(ls "$ck_dir")" >> "$LOG"
+  fi
+}
+
+commit_artifact() {  # $1 src, $2 dst, $3 message
+  cp -f "$1" "$2" || return 1
+  git add "$2" && git commit -q -m "$3"
+  echo "$(date) committed $2 rc=$?" >> "$LOG"
+}
+
+for i in $(seq 1 10); do
+  if timeout 300 python -c "import jax; jax.devices(); import jax.numpy as jnp; assert float(jnp.ones(8).sum()) == 8.0" >/dev/null 2>&1; then
+    break
+  fi
+  echo "$(date) chip still down" >> "$LOG"
+  sleep 60
+done
+echo "$(date) chip UP" >> "$LOG"
+
+run_longrun() {  # $1 out_dir, $2 slot, $3 slots, extra args...
+  local out=$1 slot=$2 nslots=$3; shift 3
+  restore_if_empty "$out/ck" "$slot"
+  for i in $(seq 1 "$nslots"); do
+    ( while [ ! -f "/tmp/$slot.done" ]; do sleep 240; snapshot "$out/ck" "$slot"; done ) &
+    local side=$!
+    timeout 3000 python -u experiments/fig3a_longrun.py --out "$out" "$@" \
+      >> "/tmp/$slot.log" 2>&1
+    echo "$(date) $slot slot $i rc=$? last: $(tail -n1 "/tmp/$slot.log")" >> "$LOG"
+    touch "/tmp/$slot.done"; wait "$side" 2>/dev/null; rm -f "/tmp/$slot.done"
+    snapshot "$out/ck" "$slot"
+    [ -f "$out/curves.json" ] && return 0
+    sleep 2
+  done
+  [ -f "$out/curves.json" ]
+}
+
+run_analytic() {  # $1 out_dir, $2 label, extra args...
+  local out=$1 label=$2; shift 2
+  timeout 2400 python -u experiments/fig3a_analytic_gap.py \
+    --ck "$out/ck" --out "$out/analytic_gap" --chunks 4 --label "$label" "$@" \
+    >> "$LOG" 2>&1
+  echo "$(date) analytic($label) A rc=$?" >> "$LOG"
+  timeout 3600 python -u experiments/fig3a_analytic_gap.py \
+    --out "$out/analytic_gap" --moments_pass >> "$LOG" 2>&1
+  echo "$(date) analytic($label) B rc=$?" >> "$LOG"
+  timeout 600 python -u experiments/fig3a_analytic_gap.py \
+    --out "$out/analytic_gap" --stats_only --label "$label" >> "$LOG" 2>&1
+  echo "$(date) analytic($label) C rc=$?" >> "$LOG"
+  [ -f "$out/analytic_gap/analytic_gap.json" ]
+}
+
+# ---- E: 10x10 anomaly decomposition -------------------------------------
+if [ ! -f docs/results/anomaly_10x10.json ]; then
+  for i in 1 2 3; do
+    timeout 3000 python -u experiments/anomaly_10x10.py \
+      --out results/anomaly_10x10.json >> /tmp/anomaly_10x10.log 2>&1
+    echo "$(date) anomaly slot $i rc=$? last: $(tail -n1 /tmp/anomaly_10x10.log)" >> "$LOG"
+    # complete = all three sections non-empty and no phase missing
+    python - <<'EOF' && break
+import json, sys
+r = json.load(open("results/anomaly_10x10.json"))
+ok = (len(r["step_s_per_epoch"]) >= 6 and len(r["attn_s_per_100ds"]) >= 8
+      and len(r["prior_s_per_100ds"]) >= 4)
+sys.exit(0 if ok else 1)
+EOF
+    sleep 2
+  done
+  [ -f results/anomaly_10x10.json ] \
+    && commit_artifact results/anomaly_10x10.json docs/results/anomaly_10x10.json \
+         "10x10 batch-shape anomaly: forced-tile + component decomposition"
+fi
+
+# ---- F: from-scratch weighted 1250-epoch grid point ---------------------
+OUT=results/fig3a_w1250
+if [ ! -f docs/results/analytic_gap_w1250.json ]; then
+  run_longrun "$OUT" fig3a-w1250 4 --epochs 1250 --eval_pos_sampler weighted
+  if [ -f "$OUT/curves.json" ]; then
+    commit_artifact "$OUT/curves.json" docs/results/fig3a_w1250_curves.json \
+      "Fig-3a weighted 1250ep rerun (epochs-scaling + bucket-A/B anchor)"
+    run_analytic "$OUT" "weighted 1250ep" \
+      && commit_artifact "$OUT/analytic_gap/analytic_gap.json" \
+           docs/results/analytic_gap_w1250.json \
+           "Analytic Fig-3a gap: weighted 1250-epoch grid point"
+  fi
+fi
+
+echo "$(date) stage-2 COMPLETE" >> "$LOG"
