@@ -18,9 +18,11 @@
 # serializes ref updates + gc behind a flock so a sidecar and the main chain
 # can both call it.
 set -u
-cd /root/repo
+# DURABLE_CKPT_REPO overrides the target repo (hermetic tests use a tmp repo).
+cd "${DURABLE_CKPT_REPO:-/root/repo}"
 CMD=${1:?save|restore|list}
-LOCK=/tmp/durable_ckpt.lock
+# Per-repo lock so a test repo never serializes against the real sidecars.
+LOCK="${TMPDIR:-/tmp}/durable_ckpt.$(pwd | cksum | cut -d' ' -f1).lock"
 
 case "$CMD" in
   save)

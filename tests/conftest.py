@@ -49,6 +49,12 @@ _QUICK_TESTS = {
     "test_bayesopt.py::test_pi_monotone_in_best_f",
     "test_bayesopt.py::test_scores_jit_stable_across_num_obs",
     "test_checkpoints.py::test_torch_export_roundtrip",
+    "test_durable_ckpt.py::test_save_restore_roundtrip",
+    "test_durable_ckpt.py::test_bounded_history_one_reachable_snapshot",
+    "test_durable_ckpt.py::test_main_branch_untouched_and_index_clean",
+    "test_durable_ckpt.py::test_slots_are_independent",
+    "test_durable_ckpt.py::test_restore_missing_slot_fails",
+    "test_durable_ckpt.py::test_save_missing_dir_fails",
     "test_comparison.py::test_conf_interval",
     "test_debug_checks.py::test_nll_poisons_out_of_support_only_in_debug_mode",
     "test_debug_checks.py::test_in_support_targets_unaffected_by_debug_mode",
