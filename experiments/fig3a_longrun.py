@@ -102,6 +102,13 @@ def main():
              "weighted sampler starves",
     )
     p.add_argument(
+        "--bucket_seq_cap", type=int, default=None,
+        help="cap the per-dataset seq_len of the throwaway bucket-estimation "
+             "sample (decorrelates the 100k ys -> wider equal-mass span; "
+             "default None = reference behavior). Changing this changes the "
+             "criterion: only set it on FRESH runs, never on resumes.",
+    )
+    p.add_argument(
         "--init_from", default=None,
         help="warm-start params from the newest checkpoint in this ck dir "
              "(fresh optimizer state); used with a fresh --out to run a "
@@ -127,7 +134,8 @@ def main():
     prior = GPPrior(num_features=1, **GP_HP)
     # Deterministic bucket estimation (same seed every invocation so resumed
     # runs keep the identical criterion).
-    ys = sample_y_for_buckets(prior, 100_000, args.bptt, seed=7)
+    ys = sample_y_for_buckets(prior, 100_000, args.bptt, seed=7,
+                              max_seq_len=args.bucket_seq_cap)
     criterion = full_support_bar_criterion(
         get_bucket_limits(args.num_buckets, ys=ys)
     )
@@ -209,6 +217,7 @@ def main():
         "final_train_loss": result.final_loss,
         "oracle_seconds": oracle["seconds"],
         "epochs": args.epochs,
+        "bucket_seq_cap": args.bucket_seq_cap,
         "note": "oracle_nll_noise1e-3 = f64 oracle at the sampler's measured "
                 "effective noise (~1e-3 at T=2010 f32); see docs/PERF.md.",
     }

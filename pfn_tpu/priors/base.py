@@ -79,15 +79,30 @@ def make_dataloader(
 
 
 def sample_y_for_buckets(
-    prior: Prior, n_samples: int, seq_len: int, seed: int = 0
+    prior: Prior, n_samples: int, seq_len: int, seed: int = 0,
+    max_seq_len: int | None = None
 ) -> jnp.ndarray:
     """Draw a flat sample of target ys to estimate adaptive bucket borders.
 
     Parity: the throwaway-dataloader trick at reference train.py:214-219.
+
+    ``max_seq_len`` caps the per-dataset sequence length of the throwaway
+    sample (default: ``seq_len``, the reference behavior). At bptt=2010 the
+    default draws only ~50 datasets, and ys within one GP dataset are
+    strongly correlated (lengthscale 0.6 on [0,1] gives a handful of
+    independent wiggles), so the equal-mass border span covers only ~±2.5
+    marginal sd — leaving 0.7-3% of exact-posterior mass outside the
+    support at eval time (measured: docs/results/
+    analytic_gap_decompose_mix500.json). Capping at e.g. 128 draws ~16x
+    more independent function draws for the same n_samples, widening the
+    span toward the true ±4.3 sd of 100k independent draws. The y marginal
+    itself does not depend on seq_len for the stationary priors, so this
+    only reduces estimator variance/correlation.
     """
-    batch = max(1, n_samples // seq_len)
+    s = min(seq_len, max_seq_len) if max_seq_len else seq_len
+    batch = max(1, n_samples // s)
     _, _, target_y = jax.jit(
-        lambda key: prior.sample(key, batch, seq_len)
+        lambda key: prior.sample(key, batch, s)
     )(jax.random.PRNGKey(seed))
     return target_y.reshape(-1)
 

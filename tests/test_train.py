@@ -177,3 +177,28 @@ def test_mixture_eval_pos_sampler_floors_small_contexts():
     draws = [int(_sample_eval_pos(jax.random.PRNGKey(i), cfg))
              for i in range(32)]
     assert all(0 <= d < 64 for d in draws) and len(set(draws)) > 5
+
+
+def test_bucket_sample_seq_cap_widens_span():
+    """max_seq_len decorrelates the throwaway bucket sample.
+
+    At long seq_len the sample is a few highly-correlated GP draws, so the
+    equal-mass span under-covers the marginal; capping the per-dataset
+    length draws more independent functions and must widen the span (the
+    mid-context tail-mass finding, docs/PERF.md bucket-resolution floor).
+    """
+    from pfn_tpu.priors.gp import GPPrior
+
+    prior = GPPrior(num_features=1, noise=1e-4, outputscale=1.0,
+                    lengthscale=0.6)
+    ys_long = sample_y_for_buckets(prior, 20_000, 500, seed=7)
+    ys_capped = sample_y_for_buckets(prior, 20_000, 500, seed=7,
+                                     max_seq_len=50)
+    assert ys_long.shape == ys_capped.shape == (20_000,)
+    span_long = float(ys_long.max() - ys_long.min())
+    span_capped = float(ys_capped.max() - ys_capped.min())
+    assert span_capped > span_long
+    # Default (no cap) is byte-identical to the pre-option behavior.
+    ys_default = sample_y_for_buckets(prior, 20_000, 500, seed=7,
+                                      max_seq_len=None)
+    assert (ys_default == ys_long).all()
