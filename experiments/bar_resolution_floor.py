@@ -79,7 +79,8 @@ def gaussian_bar_floor(mu: float, sigma: float, borders: np.ndarray,
     return max(kl, 0.0), float(np.clip(out_mass, 0.0, 1.0))
 
 
-def make_borders(num_buckets: int, bptt: int) -> np.ndarray:
+def make_borders(num_buckets: int, bptt: int,
+                 seq_cap: int | None = None) -> np.ndarray:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -89,7 +90,8 @@ def make_borders(num_buckets: int, bptt: int) -> np.ndarray:
 
     prior = GPPrior(num_features=1, noise=1e-4, outputscale=1.0,
                     lengthscale=0.6)
-    ys = sample_y_for_buckets(prior, 100_000, bptt, seed=7)
+    ys = sample_y_for_buckets(prior, 100_000, bptt, seed=7,
+                              max_seq_len=seq_cap)
     return np.asarray(get_bucket_limits(num_buckets, ys=ys))
 
 
@@ -106,6 +108,10 @@ def main() -> None:
     ap.add_argument("--bptt", type=int, default=2010)
     ap.add_argument("--buckets", type=int, nargs="+",
                     default=[1000, 10000])
+    ap.add_argument("--seq_cap", type=int, default=None,
+                    help="build borders from a decorrelated bucket sample "
+                         "(sample_y_for_buckets max_seq_len); implies "
+                         "cpu-regenerated borders for every bucket count")
     ap.add_argument("--out", default="docs/results/bar_resolution_floor.json")
     args = ap.parse_args()
 
@@ -125,8 +131,10 @@ def main() -> None:
                  "contribution bounded by 0; out_of_support_mass_mean "
                  "reports where that matters"),
     }
+    if args.seq_cap:
+        result["seq_cap"] = args.seq_cap
     for nb in args.buckets:
-        if nb == 1000 and args.check_borders:
+        if nb == 1000 and args.check_borders and not args.seq_cap:
             # Use the model's ACTUAL borders (saved by the analytic-gap
             # pipeline from the checkpointed criterion). A CPU regeneration
             # differs slightly (mean |delta| ~0.02): the TPU sampler path
@@ -138,7 +146,7 @@ def main() -> None:
             # Statistically equivalent construction (same prior, same
             # equal-mass recipe); floors depend on bucket-width scale, not
             # exact placement.
-            borders = make_borders(nb, args.bptt)
+            borders = make_borders(nb, args.bptt, seq_cap=args.seq_cap)
             result[f"borders_{nb}b"] = "cpu-regenerated (equivalent in law)"
         floors = np.zeros_like(mus)
         outs = np.zeros_like(mus)
