@@ -187,6 +187,9 @@ def main():
     p.add_argument("--chunk_batch", type=int, default=32)
     p.add_argument("--bptt", type=int, default=2010)
     p.add_argument("--num_buckets", type=int, default=1000)
+    p.add_argument("--bucket_seq_cap", type=int, default=None,
+                   help="must match the trained run's --bucket_seq_cap so "
+                        "the rebuilt criterion borders equal the model's")
     p.add_argument("--seed", type=int, default=991)
     p.add_argument("--label", default="")
     p.add_argument("--moments_pass", action="store_true")
@@ -221,7 +224,8 @@ def main():
         from pfn_tpu.train.loop import build_model
 
         prior = GPPrior(num_features=1, **GP_HP)
-        ys = sample_y_for_buckets(prior, 100_000, args.bptt, seed=7)
+        ys = sample_y_for_buckets(prior, 100_000, args.bptt, seed=7,
+                                  max_seq_len=args.bucket_seq_cap)
         criterion = full_support_bar_criterion(
             get_bucket_limits(args.num_buckets, ys=ys)
         )

@@ -118,4 +118,25 @@ if [ ! -f docs/results/analytic_gap_w1250.json ]; then
   fi
 fi
 
+# ---- G: round-5 recipe pilot — mixture + 10k buckets + decorrelated span
+# Every term is justified by a committed artifact (docs/PERF.md): mixture
+# (sampler A/B PASS), 10000 buckets (1000-bucket floor > 1e-3), seq cap
+# (out-of-support mass -> 0, floor <= 3.6e-4 everywhere). This pilot
+# validates the full recipe end-to-end at 500 epochs and anchors the
+# round-5 long run.
+OUT=results/fig3a_recipe500
+if [ ! -f docs/results/analytic_gap_recipe500.json ]; then
+  run_longrun "$OUT" fig3a-recipe500 4 --epochs 500 --eval_pos_sampler mixture \
+    --num_buckets 10000 --bucket_seq_cap 128
+  if [ -f "$OUT/curves.json" ]; then
+    commit_artifact "$OUT/curves.json" docs/results/fig3a_recipe500_curves.json \
+      "Fig-3a round-5-recipe pilot curves: mixture + 10k buckets + wide span"
+    run_analytic "$OUT" "recipe pilot 500ep" \
+      --num_buckets 10000 --bucket_seq_cap 128 \
+      && commit_artifact "$OUT/analytic_gap/analytic_gap.json" \
+           docs/results/analytic_gap_recipe500.json \
+           "Analytic Fig-3a gap: round-5-recipe pilot (10k buckets, wide span)"
+  fi
+fi
+
 echo "$(date) stage-2 COMPLETE" >> "$LOG"
