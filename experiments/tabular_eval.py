@@ -26,7 +26,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--prior", default="mlp", choices=["mlp", "binarized_gp"])
+    p.add_argument(
+        "--prior", default="mlp",
+        choices=["mlp", "binarized_gp", "mlp_gp_mixture"],
+    )
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--bptt", type=int, default=100)
     p.add_argument("--eval_positions", type=int, nargs="+", default=[30])
@@ -91,7 +94,7 @@ def main():
     data_width = max(d[1].shape[1] for d in datasets)
     num_features = args.num_features or max(data_width, 30 if args.quick else 60)
 
-    if args.prior == "mlp":
+    if args.prior in ("mlp", "mlp_gp_mixture"):
         from pfn_tpu.priors.mlp import MLPPrior
 
         from pfn_tpu.priors.hyper import UniformInt
@@ -105,6 +108,26 @@ def main():
             is_causal=False, categorical_x=not args.no_categorical,
             num_features_used=UniformInt(1, num_features + 1),
         )
+        if args.prior == "mlp_gp_mixture":
+            # Prior-diversity A/B (round-4 scaling verdict: the tabular gap
+            # is prior-limited): blend 20% binarized GP-hyperprior datasets
+            # (Matern-5/2 ARD, Gamma hypers — smooth non-MLP functions) into
+            # the MLP meta-training stream. Static batch split, same model,
+            # same schedule, same eval protocol as --prior mlp.
+            from pfn_tpu.priors.binarize import BinarizedPrior
+            from pfn_tpu.priors.gp_mix import GPMixPrior
+            from pfn_tpu.priors.mixture import BatchMixture
+
+            prior = BatchMixture(
+                components=(
+                    prior,
+                    BinarizedPrior(
+                        base=GPMixPrior(num_features=min(8, num_features)),
+                        num_outputs=1,
+                    ),
+                ),
+                weights=(0.8, 0.2),
+            )
     else:
         from pfn_tpu.priors.binarize import binarized_gp_prior
 

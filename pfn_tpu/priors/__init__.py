@@ -22,6 +22,7 @@ from pfn_tpu.priors import (
     binarize,
     stroke,
     omniglot,
+    mixture,
 )
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "binarize",
     "stroke",
     "omniglot",
+    "mixture",
 ]
