@@ -40,7 +40,7 @@ def _force_block(block: int | None):
     if not hasattr(fa, "_choose_block_orig"):
         fa._choose_block_orig = fa._choose_block
     fa._choose_block = (
-        fa._choose_block_orig if block is None else (lambda bh: block)
+        fa._choose_block_orig if block is None else (lambda *a: block)
     )
 
 

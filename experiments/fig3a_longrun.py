@@ -72,15 +72,17 @@ def main():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--checkpoint_every", type=int, default=20)
     p.add_argument(
-        "--batch_size", type=int, default=25,
+        "--batch_size", type=int, default=4,
         help="fused microbatch size; with --agg keeps the notebook's "
              "schedule (100 datasets/update, 4 updates/epoch) as long as "
-             "batch_size*agg == 100. The default 25x4 is the measured "
-             "TPU-optimal shape (experiments/batch_shape_sweep.py, "
-             "docs/results/batch_sweep_2010.json: 3.98 s/epoch vs 4.76 "
-             "for the reference GPU's memory-forced 4x25)",
+             "batch_size*agg == 100. The default 4x25 is the measured "
+             "TPU-optimal shape once the flash tile heuristic is T-aware "
+             "(docs/results/anomaly_10x10.json: 3.26 s/epoch at block-256 "
+             "vs 3.98 for the round-3 champion 25x4 — the old sweep's "
+             "4x25=4.76 number was a block-128 tile-selection artifact, "
+             "docs/results/batch_sweep_2010.json)",
     )
-    p.add_argument("--agg", type=int, default=4,
+    p.add_argument("--agg", type=int, default=25,
                    help="aggregate_k_gradients (microbatches per update)")
     p.add_argument("--out", default="results/fig3a")
     p.add_argument("--eval_batch", type=int, default=32)

@@ -107,7 +107,10 @@ fi
 # ---- F: from-scratch weighted 1250-epoch grid point ---------------------
 OUT=results/fig3a_w1250
 if [ ! -f docs/results/analytic_gap_w1250.json ]; then
-  run_longrun "$OUT" fig3a-w1250 4 --epochs 1250 --eval_pos_sampler weighted
+  # Pin the shape this run STARTED with (25x4, pre-T-aware-tile default)
+  # so resume slots don't switch microbatch shape mid-run.
+  run_longrun "$OUT" fig3a-w1250 4 --epochs 1250 --eval_pos_sampler weighted \
+    --batch_size 25 --agg 4
   if [ -f "$OUT/curves.json" ]; then
     commit_artifact "$OUT/curves.json" docs/results/fig3a_w1250_curves.json \
       "Fig-3a weighted 1250ep rerun (epochs-scaling + bucket-A/B anchor)"

@@ -35,11 +35,21 @@ BLOCK = 128  # default tile; _choose_block may pick larger for big B*H
 _NEG_INF = -1e30
 
 
-def _choose_block(batch_heads: int) -> int:
-    """Tile size heuristic (measured on v5e, T=2010, D=128, fwd+bwd):
-    128x128 tiles win at small batch*heads (more grid parallelism), 256x256
-    at large (amortizes per-block overhead: 34->19 ms at B*H=128)."""
-    return 256 if batch_heads >= 64 else BLOCK
+def _choose_block(batch_heads: int, t: int) -> int:
+    """Tile size heuristic. ``t`` may be the raw or the padded sequence
+    length — the rule is invariant under its own padding (t <= 128 pads to
+    exactly 128; t > 128 with a 256 tile pads to >= 256 > 128).
+
+    Measured on v5e at T=2010, D=128, fwd+bwd (the round-4 anomaly
+    decomposition, docs/results/anomaly_10x10.json): 256x256 tiles beat
+    128x128 at EVERY batch*heads measured — 16/40/80/100 at 0.066-0.083 vs
+    0.41-3.8 s per 100 datasets — so the earlier small-batch*heads
+    preference for 128 (which produced the round-3 batch-shape-sweep
+    anomaly: 10x10 "inexplicably" slower than 4x25) was simply wrong at
+    long T. 128 remains only when the sequence fits a single 128 tile,
+    where a 256 tile would double the padded work."""
+    del batch_heads  # kept for signature stability (A/B forcing in experiments/)
+    return BLOCK if t <= BLOCK else 256
 
 
 def _block_mask(block, qi, kj, sep, valid_len, include_diag=True):
@@ -226,7 +236,7 @@ def _fwd_impl(q, k, v, sep, valid_len, include_diag=True):
     keys). Returns (o, lse)."""
     BH, Tqp, D = q.shape
     Tkp = k.shape[1]
-    block = _choose_block(BH)
+    block = _choose_block(BH, max(Tqp, Tkp))
     assert Tqp % block == 0 and Tkp % block == 0, (Tqp, Tkp, block)
     grid = (BH, Tqp // block, Tkp // block)
     sep = jnp.asarray(sep, jnp.int32).reshape(1)
@@ -281,7 +291,7 @@ def _bwd_impl(q, k, v, o, lse, sep, valid_len, do, dlse, include_diag):
     — the kernels just receive an adjusted delta."""
     BH, Tqp, D = q.shape
     Tkp = k.shape[1]
-    block = _choose_block(BH)
+    block = _choose_block(BH, max(Tqp, Tkp))
     nq, nk = Tqp // block, Tkp // block
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
@@ -408,7 +418,7 @@ def pfn_flash_prefix_attention(q, k, v, single_eval_pos, scale=None):
     B, H, Tq, D = q.shape
     Tk = k.shape[2]
     scale = scale if scale is not None else 1.0 / (D**0.5)
-    block = _choose_block(B * H)
+    block = _choose_block(B * H, max(Tq, Tk))
     Tqp = ((Tq + block - 1) // block) * block
     Tkp = ((Tk + block - 1) // block) * block
     qf = _pad((q * scale).reshape(B * H, Tq, D), Tqp)
@@ -443,7 +453,7 @@ def pfn_flash_attention(q, k, v, single_eval_pos, scale=None):
     """
     B, H, T, D = q.shape
     scale = scale if scale is not None else 1.0 / (D**0.5)
-    block = _choose_block(B * H)
+    block = _choose_block(B * H, T)
     Tp = ((T + block - 1) // block) * block
     qf = _pad((q * scale).reshape(B * H, T, D), Tp)
     kf = _pad(k.reshape(B * H, T, D), Tp)

@@ -77,11 +77,13 @@ def test_flash_bf16_close_to_f32_dense():
 
 
 def test_flash_large_batch_heads_uses_256_block():
-    """B*H >= 64 selects the 256-wide tile (_choose_block); equivalence must
-    hold across the block-size switch."""
+    """T > 128 selects the 256-wide tile (_choose_block, T-based since the
+    round-4 anomaly decomposition); equivalence must hold across the
+    block-size switch."""
     from pfn_tpu.ops.flash_attention import _choose_block
 
-    assert _choose_block(16) == 128 and _choose_block(64) == 256
+    assert _choose_block(16, 128) == 128 and _choose_block(16, 2010) == 256
+    assert _choose_block(64, 100) == 128 and _choose_block(64, 260) == 256
     q, k, v = make_qkv(jax.random.PRNGKey(2), B=16, H=4, T=260, D=128)
     sep = 130
     ref = pfn_attention_reference(q, k, v, sep)
