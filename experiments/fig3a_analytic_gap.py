@@ -45,12 +45,17 @@ import subprocess
 import sys
 
 GP_HP = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
-EFFECTIVE_NOISE = 1e-3  # f32 sampler's measured effective noise at T~2000
+# Default effective noise for data from the exact per-dataset f32 Cholesky
+# sampler at T~2000 (docs/PERF.md "Numerical-fidelity note"). Grid-sampled
+# runs (--grid > 0) pass the NOMINAL noise instead — their latent comes from
+# a f64-factored constant matrix, so effective == nominal (measured,
+# docs/results/grid_fidelity.json) and the two oracles coincide.
+EFFECTIVE_NOISE = 1e-3
 POSITIONS = [1, 2, 5, 10, 20, 50, 100, 200, 400, 700, 1000, 1400, 1800, 2000]
 TARGET = 1e-3  # BASELINE.md metric 2 tolerance, nats
 
 
-def moments_pass(out_dir: str, chunk: int):
+def moments_pass(out_dir: str, chunk: int, effective_noise: float):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -73,7 +78,7 @@ def moments_pass(out_dir: str, chunk: int):
             p = {}
             for which, hp in (
                 ("nominal", GP_HP),
-                ("effective", dict(GP_HP, noise=EFFECTIVE_NOISE)),
+                ("effective", dict(GP_HP, noise=effective_noise)),
             ):
                 mean, var = gp_exact_posterior_moments(
                     xb, yb, hp, positions=jnp.asarray(positions),
@@ -87,6 +92,7 @@ def moments_pass(out_dir: str, chunk: int):
         print(f"moments chunk {s // chunk + 1} done", flush=True)
     np.savez(
         os.path.join(out_dir, "oracle_moments.npz"),
+        effective_noise=np.asarray(effective_noise),
         **{k: np.concatenate(v, axis=1) for k, v in acc.items()},
     )
 
@@ -109,6 +115,8 @@ def stats_pass(out_dir: str, label: str, sampled_dir: str | None):
 
     out = {"positions": positions.tolist(), "n_datasets": int(logits.shape[1]),
            "label": label, "target_nats": TARGET}
+    if "effective_noise" in mom:
+        out["effective_noise"] = float(mom["effective_noise"])
     rng = np.random.default_rng(0)
     for which in ("nominal", "effective"):
         mu = jnp.asarray(mom[f"{which}_mean"], jnp.float64)  # (P, N)
@@ -195,10 +203,21 @@ def main():
     p.add_argument("--moments_pass", action="store_true")
     p.add_argument("--moments_chunk", type=int, default=32)
     p.add_argument("--stats_only", action="store_true")
+    p.add_argument("--grid", type=int, default=0,
+                   help="must match the trained run's --grid: rebuilds the "
+                        "same bucket borders AND samples eval data from the "
+                        "same (grid-x) prior")
+    p.add_argument("--effective_noise", type=float, default=None,
+                   help="effective-noise oracle's noise (default: 1e-3 for "
+                        "exact-sampler runs, nominal for --grid runs)")
     args = p.parse_args()
 
+    eff_noise = args.effective_noise
+    if eff_noise is None:
+        eff_noise = GP_HP["noise"] if args.grid > 0 else EFFECTIVE_NOISE
+
     if args.moments_pass:
-        moments_pass(args.out, args.moments_chunk)
+        moments_pass(args.out, args.moments_chunk, eff_noise)
         return
     if args.stats_only:
         stats_pass(args.out, args.label, args.data)
@@ -223,7 +242,7 @@ def main():
         )
         from pfn_tpu.train.loop import build_model
 
-        prior = GPPrior(num_features=1, **GP_HP)
+        prior = GPPrior(num_features=1, grid=args.grid, **GP_HP)
         ys = sample_y_for_buckets(prior, 100_000, args.bptt, seed=7,
                                   max_seq_len=args.bucket_seq_cap)
         criterion = full_support_bar_criterion(
@@ -277,7 +296,8 @@ def main():
     if not os.path.exists(os.path.join(args.out, "oracle_moments.npz")):
         subprocess.run(
             [sys.executable, me, "--moments_pass", "--out", args.out,
-             "--moments_chunk", str(args.moments_chunk)],
+             "--moments_chunk", str(args.moments_chunk),
+             "--effective_noise", str(eff_noise)],
             check=True,
         )
     cmd = [sys.executable, me, "--stats_only", "--out", args.out,

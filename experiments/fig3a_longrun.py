@@ -20,7 +20,7 @@ import os
 GP_HP = dict(noise=1e-4, outputscale=1.0, lengthscale=0.6)
 
 
-def oracle_pass(out_dir: str):
+def oracle_pass(out_dir: str, effective_noise: float = 1e-3):
     """Phase B: exact-GP oracle in FLOAT64 on CPU.
 
     Runs in its own process (invoked with --oracle_pass) because x64 must be
@@ -42,12 +42,14 @@ def oracle_pass(out_dir: str):
         jnp.asarray(data["x"]), jnp.asarray(data["y"]), GP_HP,
         positions=jnp.asarray(data["positions"]), dtype=jnp.float64,
     )
-    # Second pass at the sampler's measured EFFECTIVE noise (~1e-3: the f32
-    # on-device factorization at T~2000 carries that much structured error —
-    # docs/PERF.md "Numerical-fidelity note"). This is the honest oracle for
-    # scoring data the f32 sampler actually produced; plot_fig3a.py prefers
-    # this key.
-    hp_eff = dict(GP_HP, noise=1e-3)
+    # Second pass at the sampler's measured EFFECTIVE noise. For the exact
+    # per-dataset f32 Cholesky sampler at T~2000 that is ~1e-3 (structured
+    # factorization error — docs/PERF.md "Numerical-fidelity note"). For the
+    # grid sampler (--grid > 0) the latent comes from a f64-factored constant
+    # matrix and the effective noise IS the nominal noise (measured via
+    # duplicate-x pairs, docs/results/grid_fidelity.json) — the caller passes
+    # effective_noise == GP_HP['noise'] and the two oracle curves coincide.
+    hp_eff = dict(GP_HP, noise=effective_noise)
     _, oracle_eff, secs2 = gp_exact_evaluate(
         jnp.asarray(data["x"]), jnp.asarray(data["y"]), hp_eff,
         positions=jnp.asarray(data["positions"]), dtype=jnp.float64,
@@ -57,6 +59,7 @@ def oracle_pass(out_dir: str):
             {
                 "oracle_nll": np.asarray(oracle_at).tolist(),
                 "oracle_nll_noise1e-3": np.asarray(oracle_eff).tolist(),
+                "effective_noise": effective_noise,
                 "seconds": secs + secs2,
             },
             f,
@@ -89,6 +92,22 @@ def main():
     p.add_argument("--skip_eval", action="store_true")
     p.add_argument("--oracle_pass", action="store_true")
     p.add_argument(
+        "--grid", type=int, default=0,
+        help="G > 0: sample the GP prior on a fixed G-point grid with a "
+             "precomputed f64 Cholesky factor (ops/gp_sample.py:"
+             "gp_sample_paths_grid) instead of a per-dataset f32 Cholesky "
+             "every step. Removes BOTH the ~36%% data-generation tax at "
+             "bptt=2010 AND the f32 sampler's ~1e-3 effective-noise "
+             "confound (the nominal-noise f64 oracle becomes the honest "
+             "oracle). Changes the x distribution to discrete-uniform over "
+             "G points: only set on FRESH runs, and score with a matching "
+             "--grid analytic-gap eval. 8192 recommended at bptt=2010.",
+    )
+    p.add_argument("--effective_noise", type=float, default=None,
+                   help="sampler effective noise for the second oracle pass "
+                        "(default: 1e-3 for the exact f32 sampler, nominal "
+                        "noise when --grid > 0)")
+    p.add_argument(
         "--eval_pos_sampler", default="weighted",
         choices=["weighted", "uniform", "mixture"],
         help="weighted = notebook parity (p(sep) ∝ 1/(max-sep): P(sep<=100) "
@@ -118,8 +137,12 @@ def main():
     )
     args = p.parse_args()
 
+    eff_noise = args.effective_noise
+    if eff_noise is None:
+        eff_noise = GP_HP["noise"] if args.grid > 0 else 1e-3
+
     if args.oracle_pass:
-        oracle_pass(args.out)
+        oracle_pass(args.out, effective_noise=eff_noise)
         return
 
     import jax
@@ -133,7 +156,7 @@ def main():
     from pfn_tpu.train import TrainConfig, full_support_bar_criterion, train
 
     os.makedirs(args.out, exist_ok=True)
-    prior = GPPrior(num_features=1, **GP_HP)
+    prior = GPPrior(num_features=1, grid=args.grid, **GP_HP)
     # Deterministic bucket estimation (same seed every invocation so resumed
     # runs keep the identical criterion).
     ys = sample_y_for_buckets(prior, 100_000, args.bptt, seed=7,
@@ -205,7 +228,7 @@ def main():
 
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--oracle_pass",
-         "--out", args.out],
+         "--out", args.out, "--effective_noise", str(eff_noise)],
         check=True,
     )
     with open(os.path.join(args.out, "oracle.json")) as f:
@@ -220,8 +243,11 @@ def main():
         "oracle_seconds": oracle["seconds"],
         "epochs": args.epochs,
         "bucket_seq_cap": args.bucket_seq_cap,
+        "grid": args.grid,
+        "effective_noise": eff_noise,
         "note": "oracle_nll_noise1e-3 = f64 oracle at the sampler's measured "
-                "effective noise (~1e-3 at T=2010 f32); see docs/PERF.md.",
+                "effective noise (1e-3 for the exact f32 sampler at T=2010; "
+                "nominal when --grid > 0); see docs/PERF.md.",
     }
     with open(os.path.join(args.out, "curves.json"), "w") as f:
         json.dump(out, f, indent=2)

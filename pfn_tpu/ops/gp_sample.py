@@ -211,6 +211,61 @@ def _grid_factor(G: int, lengthscale: float, outputscale: float):
         )
 
 
+@functools.lru_cache(maxsize=4)
+def _circulant_sqrt_eigs(G: int, lengthscale: float, outputscale: float):
+    """sqrt-eigenvalues of the circulant embedding of the RBF kernel on an
+    equispaced G-point grid over [0, 1] (Dietrich-Newsam / Davies-Harte).
+
+    The grid covariance K is Toeplitz; embed it in an M-point circulant
+    (M = next power of two >= 8G so the kernel has decayed to ~1e-10 at the
+    wrap distance M*h/2 ~ 4 for lengthscale 0.6) whose eigenvalues are the
+    real FFT of its first row — computed HERE in float64 on the host, then
+    sqrt'ed and cast to f32. Tiny negative eigenvalues from the finite
+    embedding are clipped to 0 (recorded magnitude ~1e-10 * outputscale).
+
+    Compared to the Cholesky-factor grid path this is O(M log M) per draw
+    instead of O(B G^2), needs O(M) memory instead of the G x G factor
+    (268 MB at G=8192 — which also overflows the axon remote-compile
+    request limit as a program constant), and is exact for the stationary
+    kernel by construction.
+    """
+    import numpy as np
+
+    h = 1.0 / (G - 1)
+    M = 1
+    while M < 8 * G:
+        M *= 2
+    j = np.arange(M)
+    d = np.minimum(j, M - j) * h
+    c = outputscale * np.exp(-0.5 * (d / lengthscale) ** 2)
+    lam = np.fft.fft(c).real  # symmetric row -> real spectrum
+    lam = np.maximum(lam, 0.0)
+    with jax.ensure_compile_time_eval():
+        grid = jax.device_put(jnp.asarray(np.linspace(0.0, 1.0, G), jnp.float32))
+        sqrt_lam = jax.device_put(jnp.asarray(np.sqrt(lam), jnp.float32))
+    return grid, sqrt_lam, M
+
+
+def _grid_latent_fft(k_f: jax.Array, batch_size: int, grid_size: int,
+                     lengthscale: float, outputscale: float) -> jax.Array:
+    """(batch_size, grid_size) draws of the latent GP on the grid via the
+    circulant spectral factor: w = ifft(sqrt(lam) * eps) * sqrt(M) with
+    eps = a + i b standard complex normals gives TWO independent real
+    N(0, C) fields per complex draw (Re w, Im w)."""
+    _, sqrt_lam, M = _circulant_sqrt_eigs(
+        grid_size, float(lengthscale), float(outputscale)
+    )
+    n_complex = (batch_size + 1) // 2
+    ka, kb = jax.random.split(k_f)
+    a = jax.random.normal(ka, (n_complex, M), dtype=jnp.float32)
+    b = jax.random.normal(kb, (n_complex, M), dtype=jnp.float32)
+    eps = jax.lax.complex(a, b)
+    w = jnp.fft.ifft(sqrt_lam.astype(jnp.complex64) * eps, axis=-1)
+    w = w * jnp.sqrt(jnp.asarray(M, jnp.float32))
+    f = jnp.concatenate([jnp.real(w), jnp.imag(w)], axis=0)[:batch_size]
+    return f[:, :grid_size]
+
+
 def gp_sample_paths_grid(
     key: jax.Array,
     batch_size: int,
@@ -219,6 +274,7 @@ def gp_sample_paths_grid(
     lengthscale: float,
     outputscale: float,
     noise,
+    method: str = "fft",
 ) -> tuple[jax.Array, jax.Array]:
     """Grid fast path for 1-D GP prior sampling: returns (x (B,T,1), y (B,T)).
 
@@ -238,15 +294,28 @@ def gp_sample_paths_grid(
     at noise=1e-4). Repeated x within a dataset get identical f (exact GP
     semantics). Opt-in via GPPrior(grid=G); hyperparameters must be static
     scalars (they key the cached factor).
+
+    ``method``: 'fft' (default) draws the latent via the circulant spectral
+    factor (O(B M log M), O(M) memory — required at G=8192 where the dense
+    factor is 268 MB and overflows the axon remote-compile constant limit);
+    'chol' uses the dense precomputed f64->f32 Cholesky factor matmul.
     """
-    grid, L = _grid_factor(grid_size, float(lengthscale), float(outputscale))
     k_idx, k_f, k_n = jax.random.split(key, 3)
-    z = jax.random.normal(k_f, (batch_size, grid_size), dtype=jnp.float32)
-    # HIGHEST precision: f32 factor feeding noise-scale-1e-2 observations
-    # cannot tolerate the default bf16-pass matmul.
-    f_grid = jax.lax.dot_general(
-        z, L, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST
-    )  # (B, G) = z @ L.T
+    if method == "fft":
+        grid, _, _ = _circulant_sqrt_eigs(
+            grid_size, float(lengthscale), float(outputscale)
+        )
+        f_grid = _grid_latent_fft(
+            k_f, batch_size, grid_size, float(lengthscale), float(outputscale)
+        )
+    else:
+        grid, L = _grid_factor(grid_size, float(lengthscale), float(outputscale))
+        z = jax.random.normal(k_f, (batch_size, grid_size), dtype=jnp.float32)
+        # HIGHEST precision: f32 factor feeding noise-scale-1e-2 observations
+        # cannot tolerate the default bf16-pass matmul.
+        f_grid = jax.lax.dot_general(
+            z, L, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+        )  # (B, G) = z @ L.T
     idx = jax.random.randint(k_idx, (batch_size, seq_len), 0, grid_size)
     x = jnp.take(grid, idx)[..., None]
     f = jnp.take_along_axis(f_grid, idx, axis=1)
