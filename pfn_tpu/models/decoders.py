@@ -18,15 +18,19 @@ _TEMPERATURES = (1.0, 1.4, 1.7, 2.0, 5.0, 10.0, 20.0, 40.0, 80.0, 160.0)
 
 
 class MLPDecoder(nn.Module):
-    """Default Linear→GELU→Linear head (transformer.py:23)."""
+    """Default Linear→GELU→Linear head (transformer.py:23).
+
+    ``approximate=False`` selects the exact erf GELU (torch ``nn.GELU()``
+    default — used for checkpoint-parity with reference-trained models)."""
 
     nhid: int
     n_out: int
+    approximate: bool = True
 
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.nhid, name="fc1")(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=self.approximate)
         return nn.Dense(self.n_out, name="fc2")(h)
 
 

@@ -36,6 +36,7 @@ def fused_supported(cfg: TransformerConfig) -> str | None:
         (not cfg.input_normalization, "SeqBN input normalization"),
         (cfg.dropout == 0.0, "dropout > 0"),
         (cfg.num_experts == 0, "MoE FFN"),
+        (not cfg.exact_gelu, "exact (erf) GELU — kernel implements tanh"),
         (cfg.mesh is None and cfg.token_sharding is None, "multi-device mesh"),
         (cfg.emsize % cfg.nhead == 0, "emsize % nhead != 0"),
     ]

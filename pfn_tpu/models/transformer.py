@@ -84,6 +84,12 @@ class TransformerConfig:
     # inside a shard_map region (ops.attention.pfn_sharded_attention — the
     # composition Pallas requires; GSPMD cannot auto-partition a kernel).
     mesh: Any = None
+    # GELU variant: False (default) = tanh approximation (TPU-friendly; the
+    # Pallas fused layer implements it). True = exact erf GELU — what
+    # torch.nn.TransformerEncoderLayer(activation='gelu') computes
+    # (reference transformer.py:17) — used for bit-level checkpoint parity
+    # with reference-trained torch models (tests/test_torch_parity.py).
+    exact_gelu: bool = False
     # Mixture-of-Experts FFN (0 = dense FFN, the reference architecture).
     # When > 0, every layer's FFN becomes a Switch-style top-1 MoE
     # (models/moe.py); expert_sharding places the dispatched (B, E, C, D)
@@ -149,6 +155,7 @@ class PFNEncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     mesh: Any = None
+    exact_gelu: bool = False
     num_experts: int = 0
     moe_capacity_factor: float = 1.25
     expert_sharding: Any = None
@@ -164,7 +171,9 @@ class PFNEncoderLayer(nn.Module):
             name="self_attn",
         )(x, single_eval_pos)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x + attn)
+        # eps 1e-5 = torch nn.LayerNorm default (checkpoint parity with the
+        # reference; flax's own default is 1e-6).
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x + attn)
         if self.num_experts > 0:
             assert self.dropout == 0.0, (
                 "MoEFFN has no counterpart to the dense path's FFN-internal "
@@ -183,7 +192,7 @@ class PFNEncoderLayer(nn.Module):
             )(x)
         else:
             h = nn.Dense(self.nhid, dtype=self.dtype, name="linear1")(x)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=not self.exact_gelu)
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             h = nn.Dense(
                 self.emsize,
@@ -192,7 +201,7 @@ class PFNEncoderLayer(nn.Module):
                 name="linear2",
             )(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x + h)
 
 
 class SeqBN(nn.Module):
@@ -262,6 +271,7 @@ class PFNTransformer(nn.Module):
                 dtype=cfg.dtype,
                 attention_impl=cfg.attention_impl,
                 mesh=cfg.mesh,
+                exact_gelu=cfg.exact_gelu,
                 num_experts=cfg.num_experts,
                 moe_capacity_factor=cfg.moe_capacity_factor,
                 expert_sharding=cfg.expert_sharding,
@@ -269,7 +279,13 @@ class PFNTransformer(nn.Module):
             )(tokens, single_eval_pos, deterministic=deterministic)
             tokens = _constrain(tokens, cfg.token_sharding)
 
-        decoder = (cfg.decoder or MLPDecoder)(cfg.nhid, cfg.n_out, name="decoder")
+        if cfg.decoder is not None:
+            decoder = cfg.decoder(cfg.nhid, cfg.n_out, name="decoder")
+        else:
+            decoder = MLPDecoder(
+                cfg.nhid, cfg.n_out, approximate=not cfg.exact_gelu,
+                name="decoder",
+            )
         return decoder(tokens.astype(jnp.float32))
 
     # ---- convenience -------------------------------------------------------

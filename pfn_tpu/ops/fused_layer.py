@@ -15,7 +15,7 @@ rematerialization, generalized to the full layer.
 
 Semantics match ``models.transformer.PFNEncoderLayer`` with dropout=0 and
 no MoE (the flagship training configs): post-LN, GELU (tanh approximation,
-flax ``nn.gelu`` default), LayerNorm in f32 with eps=1e-6, matmuls in the
+flax ``nn.gelu`` default), LayerNorm in f32 with eps=1e-5, matmuls in the
 model compute dtype with f32 accumulation, PFN mask = keys < sep plus the
 diagonal (reference transformer.py:35-41 builds this as a (T, T) additive
 mask; here it is two iota compares in VMEM).
@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_EPS = 1e-6  # flax nn.LayerNorm default
+_EPS = 1e-5  # torch nn.LayerNorm default (matches models/transformer.py)
 _GELU_C = 0.7978845608028654  # sqrt(2/pi)
 _GELU_A = 0.044715
 
