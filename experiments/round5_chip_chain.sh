@@ -1,0 +1,172 @@
+#!/bin/bash
+# Round-5 chip chain — the execution round's serialized chip schedule
+# (VERDICT.md round-4 "Next round" tasks 1-3, 9), deadline-aware because
+# round 5 is the last round: whatever exists at CHAIN_DEADLINE gets scored
+# and committed, finished or not.
+#
+#   R5a. Fig-3a recipe long run: grid-8192 FFT sampler (task 2) + mixture
+#        eval-pos sampler + 10,000 buckets + bucket_seq_cap 128 (task 1).
+#        The epoch budget is sized from the wall clock at chip-up
+#        (SPE_EST s/epoch, clamp [1000, 5000], persisted to epochs.txt so
+#        resume slots keep the identical LR schedule).
+#   pregen (CPU, overlapped with training): eval data + f64 oracle moments
+#        via experiments/agap_r5_pregen.py, nice -19.
+#   R5b. Analytic-gap scoring of the LATEST checkpoint against the
+#        nominal-noise f64 oracle (grid sampler => effective == nominal,
+#        docs/results/grid_fidelity.json).
+#   H.   Tabular prior-diversity A/B (task 3) if >=45 min remain.
+#   P.   bptt=2010 profile/roofline (task 9) if >=15 min remain.
+#
+# Usage: CHAIN_DEADLINE=<epoch seconds> nohup bash experiments/round5_chip_chain.sh &
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+export JAX_PLATFORMS=axon   # fail-fast if the axon backend is down
+LOG=/tmp/round5_chain.log
+DEADLINE=${CHAIN_DEADLINE:?export CHAIN_DEADLINE=<epoch seconds>}
+SPE_EST=${SPE_EST:-2.3}     # grid-sampler s/epoch estimate at bptt=2010
+SCORE_RESERVE=${SCORE_RESERVE:-1500}
+OUT=results/fig3a_r5
+
+left() { echo $(( DEADLINE - $(date +%s) )); }
+log()  { echo "$(date +%T) $*" >> "$LOG"; }
+
+snapshot() {
+  local ck_dir=$1 slot=$2 newest cur
+  newest=$(find "$ck_dir" -maxdepth 1 -type d -regextype posix-extended \
+           -regex '.*/epoch_[0-9]+$' 2>/dev/null | sort -t_ -k2 -n | tail -1)
+  [ -z "$newest" ] && return 1
+  [ -n "$(find "$newest" -newermt '-20 seconds' -print -quit)" ] && return 1
+  cur=$(git ls-tree --name-only "refs/heads/ckpt-$slot" snap/ 2>/dev/null | head -1)
+  [ "$cur" = "snap/$(basename "$newest")" ] && return 0
+  bash experiments/durable_ckpt.sh save "$slot" "$newest" >> "$LOG" 2>&1
+}
+
+restore_if_empty() {
+  local ck_dir=$1 slot=$2
+  if ! ls -d "$ck_dir"/epoch_* >/dev/null 2>&1; then
+    mkdir -p "$ck_dir"
+    bash experiments/durable_ckpt.sh restore "$slot" "$ck_dir" >> "$LOG" 2>&1 \
+      && log "restored $slot -> $ck_dir: $(ls "$ck_dir")"
+  fi
+}
+
+commit_artifact() {  # $1 src, $2 dst, $3 message — retries around index locks
+  cp -f "$1" "$2" || return 1
+  for a in 1 2 3; do
+    if git add "$2" && git commit -q -m "$3"; then
+      log "committed $2"; return 0
+    fi
+    sleep 7
+  done
+  log "FAILED to commit $2"
+  return 1
+}
+
+log "chain start, left=$(left)s"
+
+# ---- wait for the chip --------------------------------------------------
+while :; do
+  if [ "$(left)" -lt 900 ]; then log "deadline reached before chip came up"; exit 1; fi
+  if timeout 300 python -c "import jax; jax.devices(); import jax.numpy as jnp; assert float(jnp.ones(8).sum()) == 8.0" >/dev/null 2>&1; then
+    break
+  fi
+  log "chip still down"
+  sleep 45
+done
+log "chip UP, left=$(left)s"
+
+# ---- R5a: the recipe long run -------------------------------------------
+if [ ! -f "$OUT/curves.json" ] && [ ! -f docs/results/analytic_gap_r5.json ]; then
+  mkdir -p "$OUT"
+  if [ -f "$OUT/epochs.txt" ]; then
+    EPOCHS=$(cat "$OUT/epochs.txt")
+  else
+    BUD=$(( $(left) - SCORE_RESERVE - 900 ))   # slack: compile + eval tail
+    EPOCHS=$(python3 -c "import sys; b=float(sys.argv[1]); e=int(b/$SPE_EST/100)*100; print(max(1000, min(5000, e)))" "$BUD")
+    echo "$EPOCHS" > "$OUT/epochs.txt"
+  fi
+  log "training fig3a_r5: $EPOCHS epochs (budget-sized, SPE_EST=$SPE_EST)"
+  restore_if_empty "$OUT/ck" fig3a-r5
+  PREGEN_STARTED=0
+  for i in $(seq 1 24); do
+    SLOT=$(( $(left) - SCORE_RESERVE - 120 ))
+    [ "$SLOT" -le 180 ] && { log "out of training budget"; break; }
+    [ "$SLOT" -gt 3000 ] && SLOT=3000
+    ( while [ ! -f /tmp/fig3a-r5.done ]; do sleep 240; snapshot "$OUT/ck" fig3a-r5; done ) &
+    SIDE=$!
+    # Overlap the CPU-only analytic-gap pregen with steady-state training
+    # (after the first slot so it cannot contend with axon init).
+    if [ "$PREGEN_STARTED" = 0 ] && [ "$i" -gt 1 ]; then
+      nice -n 19 python -u experiments/agap_r5_pregen.py >> /tmp/agap_pregen.log 2>&1 &
+      PREGEN_STARTED=1
+      log "pregen launched (nice -19)"
+    fi
+    timeout "$SLOT" python -u experiments/fig3a_longrun.py --out "$OUT" \
+      --epochs "$EPOCHS" --eval_pos_sampler mixture \
+      --num_buckets 10000 --bucket_seq_cap 128 --grid 8192 \
+      >> /tmp/fig3a_r5.log 2>&1
+    log "fig3a_r5 slot $i rc=$? last: $(tail -n1 /tmp/fig3a_r5.log 2>/dev/null)"
+    touch /tmp/fig3a-r5.done; wait "$SIDE" 2>/dev/null; rm -f /tmp/fig3a-r5.done
+    snapshot "$OUT/ck" fig3a-r5
+    [ -f "$OUT/curves.json" ] && break
+  done
+  [ -f "$OUT/curves.json" ] && commit_artifact "$OUT/curves.json" \
+    docs/results/fig3a_r5_curves.json \
+    "Fig-3a round-5 recipe run: sampled eval curves (grid8192 mixture 10k cap128)"
+fi
+
+# ---- R5b: analytic-gap scoring of the latest checkpoint ------------------
+if [ ! -f docs/results/analytic_gap_r5.json ] && ls "$OUT"/ck/epoch_* >/dev/null 2>&1; then
+  # Pregen must be complete (moments pass); run it inline if the training
+  # phase never got to launch it or it is still going.
+  nice -n 19 python -u experiments/agap_r5_pregen.py >> /tmp/agap_pregen.log 2>&1
+  EP=$(cat "$OUT/epochs.txt" 2>/dev/null || echo "?")
+  LAST=$(ls -d "$OUT"/ck/epoch_* | sed 's/.*epoch_//' | sort -n | tail -1)
+  timeout $(( $(left) > 300 ? $(left) - 120 : 180 )) \
+    python -u experiments/fig3a_analytic_gap.py \
+    --ck "$OUT/ck" --out results/agap_r5 --grid 8192 \
+    --num_buckets 10000 --bucket_seq_cap 128 \
+    --label "fig3a_r5 grid8192 mixture 10kbuckets cap128 epoch${LAST}/of${EP}" \
+    >> /tmp/agap_r5.log 2>&1
+  log "agap rc=$? last: $(tail -n1 /tmp/agap_r5.log 2>/dev/null)"
+  [ -f results/agap_r5/analytic_gap.json ] && commit_artifact \
+    results/agap_r5/analytic_gap.json docs/results/analytic_gap_r5.json \
+    "Analytic Fig-3a gap: round-5 recipe checkpoint (epoch ${LAST} of ${EP})"
+fi
+
+# ---- H: tabular prior-diversity A/B (task 3) ------------------------------
+if [ "$(left)" -gt 2700 ] && [ ! -f docs/results/tabular_mix300_summary.json ]; then
+  restore_if_empty results/tabular_mix300/ck tabular-mix300
+  for i in 1 2 3; do
+    SLOT=$(( $(left) - 600 )); [ "$SLOT" -le 300 ] && break
+    [ "$SLOT" -gt 2400 ] && SLOT=2400
+    ( while [ ! -f /tmp/tabular-mix300.done ]; do sleep 240; snapshot results/tabular_mix300/ck tabular-mix300; done ) &
+    SIDE=$!
+    timeout "$SLOT" python -u experiments/tabular_eval.py --epochs 300 \
+      --ensemble 8 --prior mlp_gp_mixture --out results/tabular_mix300 \
+      --checkpoint_dir results/tabular_mix300/ck \
+      >> /tmp/tabular_mix300.log 2>&1
+    log "tabmix slot $i rc=$? last: $(tail -n1 /tmp/tabular_mix300.log 2>/dev/null)"
+    touch /tmp/tabular-mix300.done; wait "$SIDE" 2>/dev/null; rm -f /tmp/tabular-mix300.done
+    snapshot results/tabular_mix300/ck tabular-mix300
+    [ -f results/tabular_mix300/summary.json ] && break
+    sleep 2
+  done
+  [ -f results/tabular_mix300/summary.json ] && commit_artifact \
+    results/tabular_mix300/summary.json docs/results/tabular_mix300_summary.json \
+    "Tabular prior-diversity A/B: mlp_gp_mixture 300ep ensemble-8 summary"
+fi
+
+# ---- P: bptt=2010 profile/roofline (task 9) -------------------------------
+if [ "$(left)" -gt 900 ] && [ ! -f docs/results/profile_2010.json ]; then
+  timeout $(( $(left) - 240 )) python -u experiments/profile_step.py \
+    --bptt 2010 --batch_size 4 --grid 8192 --out docs/results/profile_2010.json \
+    >> /tmp/profile_2010.log 2>&1
+  log "profile rc=$? last: $(tail -n1 /tmp/profile_2010.log 2>/dev/null)"
+  [ -f docs/results/profile_2010.json ] && commit_artifact \
+    docs/results/profile_2010.json docs/results/profile_2010.json \
+    "bptt=2010 step profile: fwd/bwd/sample split and bf16 roofline fraction"
+fi
+
+log "chain COMPLETE, left=$(left)s"
