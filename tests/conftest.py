@@ -56,6 +56,9 @@ _QUICK_TESTS = {
     "test_durable_ckpt.py::test_restore_missing_slot_fails",
     "test_durable_ckpt.py::test_save_missing_dir_fails",
     "test_comparison.py::test_conf_interval",
+    "test_compat.py::test_namespace_surface",
+    "test_compat.py::test_gp_fitting_workflow_runs_unchanged",
+    "test_compat.py::test_unsupported_surface_raises_not_silently",
     "test_debug_checks.py::test_nll_poisons_out_of_support_only_in_debug_mode",
     "test_debug_checks.py::test_in_support_targets_unaffected_by_debug_mode",
     "test_comparison.py::test_log_joint_finite_and_peaked_at_truth",
