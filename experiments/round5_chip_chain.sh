@@ -98,9 +98,18 @@ if [ ! -f "$OUT/curves.json" ] && [ ! -f docs/results/analytic_gap_r5.json ]; th
     # Overlap the CPU-only analytic-gap pregen with steady-state training
     # (after the first slot so it cannot contend with axon init).
     if [ "$PREGEN_STARTED" = 0 ] && [ "$i" -gt 1 ]; then
-      nice -n 19 python -u experiments/agap_r5_pregen.py >> /tmp/agap_pregen.log 2>&1 &
+      # Launch at most one pregen across chain restarts: skip when the
+      # moments artifact already exists or a previous instance is live.
+      if [ ! -f results/agap_r5/oracle_moments.npz ] \
+         && ! { [ -f /tmp/agap_pregen.pid ] \
+                && kill -0 "$(cat /tmp/agap_pregen.pid)" 2>/dev/null; }; then
+        nice -n 19 python -u experiments/agap_r5_pregen.py >> /tmp/agap_pregen.log 2>&1 &
+        echo $! > /tmp/agap_pregen.pid
+        log "pregen launched (nice -19, pid $(cat /tmp/agap_pregen.pid))"
+      else
+        log "pregen already done or live; not relaunching"
+      fi
       PREGEN_STARTED=1
-      log "pregen launched (nice -19)"
     fi
     timeout "$SLOT" python -u experiments/fig3a_longrun.py --out "$OUT" \
       --epochs "$EPOCHS" --eval_pos_sampler mixture \
@@ -118,8 +127,14 @@ fi
 
 # ---- R5b: analytic-gap scoring of the latest checkpoint ------------------
 if [ ! -f docs/results/analytic_gap_r5.json ] && ls "$OUT"/ck/epoch_* >/dev/null 2>&1; then
-  # Pregen must be complete (moments pass); run it inline if the training
-  # phase never got to launch it or it is still going.
+  # Pregen must be complete (moments pass). Wait for a live instance rather
+  # than double-running the f64 moments on the 1-core host; the inline rerun
+  # after the wait is an idempotent no-op once the artifacts exist.
+  while [ -f /tmp/agap_pregen.pid ] \
+        && kill -0 "$(cat /tmp/agap_pregen.pid)" 2>/dev/null; do
+    [ "$(left)" -lt 420 ] && break
+    sleep 20
+  done
   nice -n 19 python -u experiments/agap_r5_pregen.py >> /tmp/agap_pregen.log 2>&1
   EP=$(cat "$OUT/epochs.txt" 2>/dev/null || echo "?")
   LAST=$(ls -d "$OUT"/ck/epoch_* | sed 's/.*epoch_//' | sort -n | tail -1)

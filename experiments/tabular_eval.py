@@ -37,7 +37,9 @@ def main():
     p.add_argument("--max_samples", type=int, default=20)
     p.add_argument("--baselines", nargs="+",
                    default=["logistic", "knn", "xgb"],
-                   help="subset of: logistic knn gp bayes_net xgb catboost")
+                   help="subset of: logistic knn gp bayes_net xgb catboost "
+                        "hgb (hgb = hermetic HistGradientBoosting stand-in "
+                        "for the xgb/catboost columns)")
     p.add_argument("--out", default="results/tabular")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--load", default=None, help="skip training, load params")

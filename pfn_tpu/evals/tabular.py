@@ -353,6 +353,37 @@ def catboost_metric(x, y, test_x, test_y, cat_features):
     return metric_used(test_y, pred), pred
 
 
+def hist_gb_metric(x, y, test_x, test_y, cat_features):
+    """Gradient-boosted trees via sklearn's HistGradientBoostingClassifier —
+    the hermetic stand-in for the reference's xgboost/catboost columns
+    (tabular.py:556-626), which need packages this image doesn't carry.
+    Grid mirrors the union of the reference's xgb/catboost grids
+    (learning rate x depth x boosting rounds), grid-searched per window
+    like every other baseline; min_samples_leaf is included because the
+    sklearn default (20) would degenerate to a single leaf on the
+    ~30-sample context windows this protocol fits on."""
+    from sklearn.ensemble import HistGradientBoostingClassifier
+    from sklearn.model_selection import GridSearchCV
+
+    grid = {
+        "learning_rate": [0.02, 0.1, 0.5],
+        "max_depth": [1, 2, 4],
+        "max_iter": [10, 50, 100],
+        "min_samples_leaf": [2, 8],
+        "early_stopping": [False],
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        clf = GridSearchCV(
+            HistGradientBoostingClassifier(),
+            grid,
+            cv=max(2, min(CV, len(x) // 2)),
+        )
+        clf.fit(x, y.astype(int))
+        pred = clf.predict_proba(test_x)[:, 1]
+    return metric_used(test_y, pred), pred
+
+
 BASELINES = {
     "logistic": logistic_metric,
     "knn": knn_metric,
@@ -360,6 +391,7 @@ BASELINES = {
     "bayes": bayes_net_metric,
     "xgb": xgb_metric,
     "catboost": catboost_metric,
+    "hgb": hist_gb_metric,
 }
 
 

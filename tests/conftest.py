@@ -113,6 +113,7 @@ _QUICK_TESTS = {
     "test_sharding.py::test_param_sharding_rules",
     "test_sklearn_crosscheck.py::test_ridge_evaluate_matches_sklearn_refit",
     "test_stroke.py::test_labels_are_classes",
+    "test_tabular.py::test_baseline_hist_gb_beats_chance",
     "test_tabular.py::test_baseline_knn_beats_chance",
     "test_tabular.py::test_build_windows_seeded",
     "test_tabular.py::test_local_datasets_load",

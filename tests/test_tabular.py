@@ -17,6 +17,7 @@ from pfn_tpu.evals.tabular import (
     evaluate,
     evaluate_position_baseline,
     evaluate_position_pfn,
+    hist_gb_metric,
     knn_metric,
     logistic_metric,
 )
@@ -54,6 +55,16 @@ def test_baseline_knn_beats_chance():
         knn_metric, X, y, bptt=60, eval_position=30, max_samples=5
     )
     assert metrics.mean() > 0.8  # iris is easy
+
+
+def test_baseline_hist_gb_beats_chance():
+    """The hermetic boosting stand-in (xgb/catboost columns, reference
+    tabular.py:556-626) must be a real learner on the window protocol."""
+    X, y = get_2class_iris()
+    metrics, _, _ = evaluate_position_baseline(
+        hist_gb_metric, X, y, bptt=60, eval_position=30, max_samples=3
+    )
+    assert metrics.mean() > 0.8
 
 
 def test_baseline_logistic_beats_chance():
